@@ -1,0 +1,193 @@
+"""YAML model-graph front-end and the full TAM-TR model.
+
+The reference compiles its architecture from a YAML DSL
+(`ultralytics/nn/tasks.py:parse_model`, lines 841-974). We keep the same
+`[from, repeats, module, args]` schema — a core capability of the framework —
+but lower it to a *static layer spec* (hashable tuples) that a single flax
+module executes as a topological loop. Channel threading is unnecessary:
+flax infers input channels from shapes at init.
+
+`TAMTRModel` is the task model (reference `RTDETRDetectionWorldModel`,
+`nn/tasks.py:518-672`): backbone + BTA-PAN neck feeding text guidance into
+every TIAGELAN, then the ManbaWorldDecoder head.
+"""
+
+from __future__ import annotations
+
+import importlib.resources
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import yaml
+from flax import linen as nn
+
+from tamtr_tpu.nn import layers as L
+from tamtr_tpu.nn.decoder import ManbaWorldDecoder
+
+# module-name registry (YAML name -> builder)
+_MODULES = {
+    "Conv",
+    "RepNCSPELAN4",
+    "SPPELAN",
+    "ADown",
+    "TIAGELAN",
+    "CPAM",
+    "Concat",
+    "nn.Upsample",
+    "Silence",
+}
+
+
+def load_model_yaml(path: str | Path) -> Dict[str, Any]:
+    p = Path(path)
+    if not p.exists():
+        # look up bundled configs
+        cand = Path(__file__).resolve().parent.parent / "cfg" / "models" / p.name
+        if cand.exists():
+            p = cand
+        else:
+            raise FileNotFoundError(f"model yaml not found: {path}")
+    with open(p) as f:
+        return yaml.safe_load(f)
+
+
+def parse_graph(cfg: Dict[str, Any], nc: Optional[int] = None):
+    """Lower the YAML graph to (layer_specs, head_spec, save_set).
+
+    Each layer spec is (idx, from, module, args) with hashable args.
+    """
+    nc = nc if nc is not None else int(cfg.get("nc", 80))
+    gd = float(cfg.get("depth_multiple", 1.0))
+    gw = float(cfg.get("width_multiple", 1.0))
+    entries = list(cfg["backbone"]) + list(cfg["head"])
+
+    specs = []
+    head_spec = None
+    save = set()
+    n_layers = len(entries)
+    for i, (f, n, m, args) in enumerate(entries):
+        n = max(round(n * gd), 1) if n > 1 else n
+        args = [nc if a == "nc" else a for a in args]
+        if m == "ManbaWorldDecoder":
+            assert i == n_layers - 1, "head must be last"
+            head_spec = (tuple(f), tuple(args))
+            for j in f:
+                save.add(j if j >= 0 else i + j)
+            continue
+        if isinstance(f, list):
+            froms = tuple(j if j < 0 else j for j in f)
+            for j in f:
+                if j != -1:
+                    save.add(j if j >= 0 else i + j)
+            f_field = froms
+        else:
+            if f != -1:
+                save.add(f if f >= 0 else i + f)
+            f_field = f
+        if m == "Conv" and gw != 1.0:
+            args = [_make_divisible(args[0] * gw, 8)] + args[1:]
+        specs.append((i, f_field, m, tuple(args)))
+    assert head_spec is not None, "graph must end with a decoder head"
+    return tuple(specs), head_spec, tuple(sorted(save)), nc
+
+
+def _make_divisible(x, divisor):
+    import math
+
+    return math.ceil(x / divisor) * divisor
+
+
+def _build_module(m: str, args: Tuple, name: str):
+    if m == "Conv":
+        c2, k, s = (list(args) + [1, 1])[:3]
+        return L.ConvBN(c2, k, s, name=name)
+    if m == "RepNCSPELAN4":
+        c2, c3, c4, n = args
+        return L.RepNCSPELAN4(c2, c3, c4, n, name=name)
+    if m == "SPPELAN":
+        c2, c3 = args
+        return L.SPPELAN(c2, c3, name=name)
+    if m == "ADown":
+        return L.ADown(args[0], name=name)
+    if m == "TIAGELAN":
+        c2, c3, c4, n, nh = args
+        return L.TIAGELAN(c2, c3, c4, n, nh, name=name)
+    if m == "CPAM":
+        return L.CPAM(name=name)
+    if m == "Concat":
+        return L.Concat(name=name)
+    if m == "nn.Upsample":
+        scale = float(args[1])
+        return L.Upsample(scale, name=name)
+    if m == "Silence":
+        return L.Silence(name=name)
+    raise ValueError(f"unknown module {m}")
+
+
+class TAMTRModel(nn.Module):
+    """Full TAM-TR detector: graph layers + MEH head.
+
+    Inputs are NHWC float images (already normalized to [0, 1]) and
+    per-batch text features (B, K, 512). In training mode, `targets` carries
+    padded ground truth for the CDN denoising branch.
+    """
+
+    specs: Tuple
+    head_from: Tuple[int, ...]
+    head_args: Tuple
+    save: Tuple[int, ...]
+    nc: int
+    max_gt: int = 128
+    scan_chunk: int = 128
+    wire_text_attn: bool = False
+
+    @classmethod
+    def from_yaml(cls, path: str | Path, nc: Optional[int] = None, **kw) -> "TAMTRModel":
+        cfg = load_model_yaml(path)
+        specs, head_spec, save, nc_ = parse_graph(cfg, nc)
+        return cls(specs=specs, head_from=head_spec[0], head_args=head_spec[1], save=save, nc=nc_, **kw)
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jnp.ndarray,
+        txt_feats: jnp.ndarray,
+        targets: Optional[Dict[str, jnp.ndarray]] = None,
+        train: bool = False,
+    ):
+        if txt_feats.shape[0] != img.shape[0]:
+            txt_feats = jnp.broadcast_to(
+                txt_feats, (img.shape[0],) + txt_feats.shape[1:]
+            )
+        x = img
+        y: List[Optional[jnp.ndarray]] = []
+        for idx, f, m, args in self.specs:
+            if isinstance(f, tuple):
+                inp = [x if j == -1 else y[j if j >= 0 else idx + j] for j in f]
+            elif f == -1:
+                inp = x
+            else:
+                inp = y[f]
+            mod = _build_module(m, args, name=f"m{idx}_{m.replace('.', '_')}")
+            if m == "TIAGELAN":
+                x = mod(inp, txt_feats, train)
+            else:
+                x = mod(inp, train)
+            y.append(x if idx in self.save else None)
+
+        feats = [y[j] for j in self.head_from]
+        nc_h, hd, nq, ndp, nh, ndl = self.head_args
+        head = ManbaWorldDecoder(
+            nc=self.nc,
+            ch=tuple(f.shape[-1] for f in feats),
+            hd=hd,
+            nq=nq,
+            ndp=ndp,
+            nh=nh,
+            ndl=ndl,
+            max_gt=self.max_gt,
+            scan_chunk=self.scan_chunk,
+            name="head",
+        )
+        return head(feats, txt_feats, targets, train)

@@ -1,0 +1,358 @@
+"""Backbone / neck building blocks, NHWC, flax.linen.
+
+TPU-first re-design of the reference's conv blocks
+(`ultralytics/nn/modules/conv.py`, `ultralytics/nn/extra_modules/block.py`):
+
+- NHWC layout throughout (XLA's native TPU conv layout; zero transposes).
+- BatchNorm matches the reference's effective configuration after
+  `initialize_weights` (eps=1e-3, torch momentum=0.03 -> flax momentum=0.97,
+  reference `ultralytics/utils/torch_utils.py:303-313`).
+- RepConvN keeps its train-time 3x3+1x1 dual branches (reference
+  `extra_modules/block.py:24-125`); a deploy-time fusion helper collapses
+  them into a single conv for inference.
+- TIAGELAN reproduces the reference's *data path*: the text-attention output
+  is computed and discarded upstream (`extra_modules/block.py:185`), so by
+  default we skip computing it entirely (identical math, fewer FLOPs). Set
+  `wire_text_attn=True` to actually gate features with text attention (a
+  documented capability extension).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# BatchNorm configuration matching the reference after initialize_weights().
+BN_MOMENTUM = 0.97  # flax convention; torch momentum 0.03
+BN_EPS = 1e-3
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same'-shape padding (reference `nn/modules/conv.py:autopad`)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    if p is None:
+        p = k // 2
+    return p
+
+
+class ConvBN(nn.Module):
+    """Conv2d (no bias) + BatchNorm + SiLU — the reference's `Conv`."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            features=self.c2,
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            dtype=x.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=jnp.float32
+        )(x)
+        return nn.silu(x) if self.act else x
+
+
+class DWConvBN(nn.Module):
+    """Depthwise Conv + BN + SiLU."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        g = min(x.shape[-1], self.c2)
+        return ConvBN(self.c2, self.k, self.s, g=g, act=self.act)(x, train)
+
+
+class RepConvN(nn.Module):
+    """RepVGG-style block: 3x3 + 1x1 dual branch at train time.
+
+    Reference `extra_modules/block.py:24-125` (no identity BN branch:
+    `self.bn = None`). At inference the two branches can be fused into a
+    single 3x3 conv, but the unfused form is kept as the parameter layout.
+    """
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert self.k == 3
+        y1 = ConvBN(self.c2, 3, self.s, p=1, act=False, name="conv1")(x, train)
+        y2 = ConvBN(self.c2, 1, self.s, p=0, act=False, name="conv2")(x, train)
+        y = y1 + y2
+        return nn.silu(y) if self.act else y
+
+
+class RepNBottleneck(nn.Module):
+    """RepConvN -> Conv 3x3 with optional residual (`block.py:126-136`)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c_ = int(self.c2 * self.e)
+        y = RepConvN(c_, 3, 1, name="cv1")(x, train)
+        y = ConvBN(self.c2, 3, 1, name="cv2")(y, train)
+        return x + y if (self.shortcut and x.shape[-1] == self.c2) else y
+
+
+class RepNCSP(nn.Module):
+    """CSP bottleneck with RepN blocks (`block.py:138-149`)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(c_, 1, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = RepNBottleneck(c_, self.shortcut, e=1.0, name=f"m{i}")(y1, train)
+        y2 = ConvBN(c_, 1, 1, name="cv2")(x, train)
+        return ConvBN(self.c2, 1, 1, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class RepNCSPELAN4(nn.Module):
+    """YOLOv9 CSP-ELAN block (`block.py:151-169`)."""
+
+    c2: int
+    c3: int
+    c4: int
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = ConvBN(self.c3, 1, 1, name="cv1")(x, train)
+        y1, y2 = jnp.split(y, 2, axis=-1)
+        y3 = RepNCSP(self.c4, self.n, name="cv2_csp")(y2, train)
+        y3 = ConvBN(self.c4, 3, 1, name="cv2_conv")(y3, train)
+        y4 = RepNCSP(self.c4, self.n, name="cv3_csp")(y3, train)
+        y4 = ConvBN(self.c4, 3, 1, name="cv3_conv")(y4, train)
+        return ConvBN(self.c2, 1, 1, name="cv4")(jnp.concatenate([y1, y2, y3, y4], axis=-1), train)
+
+
+class MaxSigmoidAttnBlock(nn.Module):
+    """YOLO-World-style max-sigmoid region-text attention (`block.py:194-226`).
+
+    guide: (B, K, gc) text embeddings. Produces a per-head sigmoid gate from
+    the max text similarity and applies it to 3x3-projected features.
+    """
+
+    c2: int
+    nh: int = 1
+    ec: int = 128
+    scale: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, guide: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, h, w, c1 = x.shape
+        hc = self.c2 // self.nh
+        g = nn.Dense(self.ec, name="gl")(guide)  # (B, K, ec)
+        g = g.reshape(b, -1, self.nh, self.ec // self.nh)  # (B, K, nh, hc_e)
+        embed = x if c1 == self.ec else ConvBN(self.ec, 1, act=False, name="ec")(x, train)
+        embed = embed.reshape(b, h, w, self.nh, self.ec // self.nh)
+        # similarity over text tokens; max over K
+        aw = jnp.einsum("bhwmc,bnmc->bmhwn", embed, g)
+        aw = aw.max(axis=-1) / (hc**0.5)  # (B, nh, h, w)
+        bias = self.param("bias", nn.initializers.zeros, (self.nh,))
+        aw = jax.nn.sigmoid(aw + bias[None, :, None, None])
+        if self.scale:
+            aw = aw * self.param("scale", nn.initializers.ones, (1, self.nh, 1, 1))
+        y = ConvBN(self.c2, 3, 1, act=False, name="proj_conv")(x, train)
+        y = y.reshape(b, h, w, self.nh, hc) * aw.transpose(0, 2, 3, 1)[..., None]
+        return y.reshape(b, h, w, self.c2)
+
+
+class TIAGELAN(nn.Module):
+    """Text-image attention GELAN (`block.py:171-192`).
+
+    The reference computes `self.attn(y[-3], guide)` and discards the result,
+    so its data path is exactly RepNCSPELAN4. We reproduce that: by default
+    the attention is not computed at all (same math, fewer FLOPs; the attn
+    params still exist for checkpoint parity). `wire_text_attn=True` replaces
+    the y[-3] branch with the attention output (capability extension).
+    """
+
+    c2: int
+    c3: int
+    c4: int
+    n: int = 1
+    nh: int = 8
+    wire_text_attn: bool = False
+    keep_attn_params: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, guide: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = ConvBN(self.c3, 1, 1, name="cv1")(x, train)
+        y1, y2 = jnp.split(y, 2, axis=-1)
+        y3 = RepNCSP(self.c4, self.n, name="cv2_csp")(y2, train)
+        y3 = ConvBN(self.c4, 3, 1, name="cv2_conv")(y3, train)
+        y4 = RepNCSP(self.c4, self.n, name="cv3_csp")(y3, train)
+        y4 = ConvBN(self.c4, 3, 1, name="cv3_conv")(y4, train)
+        if self.wire_text_attn:
+            y2 = MaxSigmoidAttnBlock(self.c4, nh=self.nh, ec=self.c4, name="attn")(y2, guide, train)
+        elif self.keep_attn_params:
+            # keep parameters registered (parity with reference checkpoints)
+            # without paying the compute; lazy-init with a zero-cost call on a
+            # stop-gradiented 1x1 slice would still trace conv work, so we
+            # register the attn module unconditionally during init only.
+            if self.is_initializing():
+                _ = MaxSigmoidAttnBlock(self.c4, nh=self.nh, ec=self.c4, name="attn")(
+                    y2, guide, train
+                )
+        return ConvBN(self.c2, 1, 1, name="cv4")(jnp.concatenate([y1, y2, y3, y4], axis=-1), train)
+
+
+def max_pool_same(x: jnp.ndarray, k: int, s: int = 1) -> jnp.ndarray:
+    """MaxPool2d(k, s, padding=k//2) (torch semantics, NHWC)."""
+    p = k // 2
+    return nn.max_pool(
+        x, window_shape=(k, k), strides=(s, s), padding=[(p, p), (p, p)]
+    )
+
+
+class SPPELAN(nn.Module):
+    """Spatial pyramid pooling ELAN: 3 cascaded k5 maxpools (`block.py:255-269`)."""
+
+    c2: int
+    c3: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = [ConvBN(self.c3, 1, 1, name="cv1")(x, train)]
+        for _ in range(3):
+            y.append(max_pool_same(y[-1], 5, 1))
+        return ConvBN(self.c2, 1, 1, name="cv5")(jnp.concatenate(y, axis=-1), train)
+
+
+class ADown(nn.Module):
+    """YOLOv9 attention-downsample (`block.py:228-241`)."""
+
+    c2: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = self.c2 // 2
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding="VALID", count_include_pad=False)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x1 = ConvBN(c, 3, 2, p=1, name="cv1")(x1, train)
+        x2 = nn.max_pool(x2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x2 = ConvBN(c, 1, 1, p=0, name="cv2")(x2, train)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
+class CPAM(nn.Module):
+    """Channel/spatial pyramid attention module (`block.py:271-308`).
+
+    Channel branch: maxpool(k3,s2) -> bilinear x2 upsample -> sigmoid gate.
+    Spatial branch: per-8-chunk max-over-channel sigmoid gate.
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        m = max_pool_same(x, 3, 2)
+        m = jax.image.resize(m, (b, m.shape[1] * 2, m.shape[2] * 2, c), method="bilinear")
+        # guard odd sizes: crop/pad to input (reference assumes even H/W)
+        m = m[:, :h, :w, :]
+        gate = jax.nn.sigmoid(m)
+        cx = gate * x
+        chunks = jnp.split(cx, 8, axis=-1)
+        outs = [jax.nn.sigmoid(si.max(axis=-1, keepdims=True)) * si for si in chunks]
+        return jnp.concatenate(outs, axis=-1)
+
+
+class Upsample(nn.Module):
+    """torch `nn.Upsample(scale_factor=s, mode='nearest')` for s in {2, 0.5}."""
+
+    scale: float = 2.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.scale >= 1:
+            s = int(self.scale)
+            x = jnp.repeat(x, s, axis=1)
+            return jnp.repeat(x, s, axis=2)
+        # nearest downsample: output[i] = input[floor(i / scale)] = input[2i]
+        s = int(round(1.0 / self.scale))
+        return x[:, ::s, ::s, :]
+
+
+class Concat(nn.Module):
+    """Channel concat of a list of feature maps."""
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False) -> jnp.ndarray:
+        return jnp.concatenate(list(xs), axis=-1)
+
+
+class Silence(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return x
+
+
+class MLP(nn.Module):
+    """Simple ReLU MLP (the reference `nn/modules/transformer.py:MLP`).
+
+    `last_zero=True` zero-initializes the final layer (the reference's
+    bbox-head init, `head.py:1275-1281`).
+    """
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    last_zero: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dims = [self.hidden_dim] * (self.num_layers - 1) + [self.output_dim]
+        for i, d in enumerate(dims):
+            last = i == self.num_layers - 1
+            kinit = nn.initializers.zeros if (last and self.last_zero) else nn.initializers.lecun_normal()
+            x = nn.Dense(d, name=f"layers{i}", kernel_init=kinit)(x)
+            if not last:
+                x = nn.relu(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth over the batch dim (timm DropPath equivalent)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return x * mask / keep

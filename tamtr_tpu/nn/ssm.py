@@ -1,0 +1,298 @@
+"""VMamba SS2D selective-scan blocks, TPU-native.
+
+Re-design of the reference VMamba subsystem
+(`ultralytics/nn/extra_modules/VManba/{vmamba,csms6s,csm_triton}.py`):
+
+- The reference's CUDA `selective_scan_cuda_core` kernel (fwd+bwd, fp32) is
+  replaced by a *chunked associative scan*: the S6 recurrence
+      h_t = exp(dt_t * A) * h_{t-1} + (dt_t * u_t) * B_t,   y_t = C_t . h_t + D * u_t
+  is associative in (a, b) pairs, so each chunk of the sequence is scanned in
+  parallel with `lax.associative_scan` while the inter-chunk state is carried
+  by a `lax.scan`. This bounds peak memory to O(G * S * D * N) for chunk size
+  S instead of O(G * L * D * N) (level 0 has L = 160*160 = 25600 tokens, which
+  would be ~1.7 GB/image if materialized). A Pallas kernel can drop in behind
+  the same function signature (see tamtr_tpu/kernels/).
+- The reference's Triton cross-scan/merge kernels are plain XLA layout ops
+  here (transpose/flip/reshape) — XLA fuses them into the surrounding ops.
+- Everything is channels-last (B, H, W, C), which is both the reference
+  VSSBlock convention (`vmamba.py:1134`) and the TPU-native layout, so the
+  NCHW<->NHWC permutes in the reference model disappear entirely.
+
+Numerics follow the reference `forward_type="v2"` path (`vmamba.py:423`):
+fp32 scan state (`force_fp32=True`), delta softplus with per-direction bias,
+A = -exp(A_log), K = 4 scan directions, LayerNorm out-norm ("v0").
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import lax
+
+from tamtr_tpu.nn.layers import DropPath
+
+# Chunk size for the associative-scan selective scan. 128 keeps the per-chunk
+# working set ~(G*128*D*N) in fp32 comfortably inside HBM headroom while
+# giving the VPU long enough vectors.
+SCAN_CHUNK = 128
+
+_SCAN_IMPL = "xla"  # switched to "pallas" by tamtr_tpu.kernels when available
+
+
+def set_scan_impl(name: str) -> None:
+    global _SCAN_IMPL
+    assert name in ("xla", "pallas")
+    _SCAN_IMPL = name
+
+
+def _combine(e1, e2):
+    """Associative combine for first-order linear recurrences."""
+    a1, b1 = e1
+    a2, b2 = e2
+    return a2 * a1, a2 * b1 + b2
+
+
+@partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
+def _scan_chunk(A, h, u_c, dt_c, B_c, C_c):
+    """One chunk of the selective scan.
+
+    A: (G, D, N); h: (G, D, N) carry; u_c, dt_c: (G, S, D); B_c, C_c: (G, S, N).
+    Returns (h_next, y_c) with y_c: (G, S, D).
+    Rematerialized in the backward pass so only chunk carries are stored.
+    """
+    dA = dt_c[..., None] * A[:, None, :, :]  # (G, S, D, N)
+    a = jnp.exp(dA)
+    b = (dt_c * u_c)[..., None] * B_c[:, :, None, :]  # (G, S, D, N)
+    a_cum, b_scan = lax.associative_scan(_combine, (a, b), axis=1)
+    h_t = a_cum * h[:, None] + b_scan  # (G, S, D, N)
+    y_c = jnp.einsum("gsdn,gsn->gsd", h_t, C_c)
+    return h_t[:, -1], y_c
+
+
+def selective_scan_xla(
+    u: jnp.ndarray,
+    delta: jnp.ndarray,
+    A: jnp.ndarray,
+    Bs: jnp.ndarray,
+    Cs: jnp.ndarray,
+    D: Optional[jnp.ndarray],
+    chunk: int = SCAN_CHUNK,
+) -> jnp.ndarray:
+    """S6 selective scan, fp32, chunked associative-scan formulation.
+
+    Args:
+      u:     (G, L, Din) inputs (already includes any bias/softplus on delta).
+      delta: (G, L, Din) timestep (post-softplus).
+      A:     (G, Din, N) negative-definite state matrix diag.
+      Bs:    (G, L, N) input projection.
+      Cs:    (G, L, N) output projection.
+      D:     (G, Din) skip, or None.
+    Returns:
+      y: (G, L, Din) fp32.
+    """
+    G, L, Din = u.shape
+    N = A.shape[-1]
+    S = min(chunk, L)
+    pad = (-L) % S
+    if pad:
+        # zero delta => a = 1, b = 0: padding does not disturb the state.
+        u = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, pad), (0, 0)))
+        Bs = jnp.pad(Bs, ((0, 0), (0, pad), (0, 0)))
+        Cs = jnp.pad(Cs, ((0, 0), (0, pad), (0, 0)))
+    Lp = L + pad
+    C_chunks = Lp // S
+
+    def to_chunks(x):
+        return x.reshape(G, C_chunks, S, x.shape[-1]).transpose(1, 0, 2, 3)
+
+    xs = (to_chunks(u), to_chunks(delta), to_chunks(Bs), to_chunks(Cs))
+    h0 = jnp.zeros((G, Din, N), dtype=u.dtype)
+
+    def step(h, inp):
+        u_c, dt_c, B_c, C_c = inp
+        return _scan_chunk(A, h, u_c, dt_c, B_c, C_c)
+
+    _, ys = lax.scan(step, h0, xs)
+    y = ys.transpose(1, 0, 2, 3).reshape(G, Lp, Din)[:, :L]
+    if D is not None:
+        y = y + u[:, :L] * D[:, None, :]
+    return y
+
+
+def selective_scan(u, delta, A, Bs, Cs, D, chunk: int = SCAN_CHUNK) -> jnp.ndarray:
+    """Dispatch to the active selective-scan implementation."""
+    if _SCAN_IMPL == "pallas":
+        from tamtr_tpu.kernels.selective_scan import selective_scan_pallas
+
+        return selective_scan_pallas(u, delta, A, Bs, Cs, D, chunk=chunk)
+    return selective_scan_xla(u, delta, A, Bs, Cs, D, chunk=chunk)
+
+
+def cross_scan(x: jnp.ndarray) -> jnp.ndarray:
+    """4-direction unfold of (B, H, W, D) -> (B, 4, L, D).
+
+    Directions match the reference CrossScan (`csms6s.py:4-22`):
+    k0 row-major, k1 column-major (HW transpose), k2/k3 = reversed k0/k1.
+    """
+    B, H, W, Dm = x.shape
+    k0 = x.reshape(B, H * W, Dm)
+    k1 = x.transpose(0, 2, 1, 3).reshape(B, H * W, Dm)
+    return jnp.stack([k0, k1, k0[:, ::-1], k1[:, ::-1]], axis=1)
+
+
+def cross_merge(ys: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Inverse-sum of the 4 directions: (B, 4, L, D) -> (B, L, D) row-major.
+
+    Matches the reference CrossMerge (`csms6s.py:25-33`).
+    """
+    B, K, L, Dm = ys.shape
+    y01 = ys[:, 0] + ys[:, 2, ::-1]
+    y11 = ys[:, 1] + ys[:, 3, ::-1]
+    y11 = y11.reshape(B, W, H, Dm).transpose(0, 2, 1, 3).reshape(B, L, Dm)
+    return y01 + y11
+
+
+def _dt_bias_init(key, shape, dt_min=0.001, dt_max=0.1, dt_init_floor=1e-4):
+    """Softplus-inverse of log-uniform dt (reference `vmamba.py:152-177`)."""
+    dt = jnp.exp(
+        jax.random.uniform(key, shape) * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min)
+    )
+    dt = jnp.clip(dt, dt_init_floor, None)
+    # inverse softplus: dt + log(1 - exp(-dt))
+    return dt + jnp.log(-jnp.expm1(-dt))
+
+
+class SS2D(nn.Module):
+    """2-D selective scan mixer, `forward_type="v2"` semantics (`vmamba.py:330-485, 898-1038`).
+
+    Input/output: (B, H, W, d_model) channels-last.
+    """
+
+    d_model: int
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: int = 0  # 0 => auto = ceil(d_model / 16)
+    d_conv: int = 3
+    scan_chunk: int = SCAN_CHUNK
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        d_inner = int(self.ssm_ratio * self.d_model)
+        R = self.dt_rank or math.ceil(self.d_model / 16)
+        N = self.d_state
+        K = 4
+        L = H * W
+
+        xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
+        xm, z = jnp.split(xz, 2, axis=-1)
+        z = nn.silu(z)
+
+        # depthwise 3x3 conv (with bias) + SiLU
+        xm = nn.Conv(
+            d_inner,
+            (self.d_conv, self.d_conv),
+            padding="SAME",
+            feature_group_count=d_inner,
+            use_bias=True,
+            name="conv2d",
+        )(xm)
+        xm = nn.silu(xm)
+
+        # ---- scan parameters (per direction k) ----
+        def xproj_init(key, shape, dtype=jnp.float32):
+            # torch Linear default: U(-1/sqrt(in), 1/sqrt(in))
+            bound = 1.0 / math.sqrt(shape[-1])
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        x_proj_w = self.param("x_proj_weight", xproj_init, (K, R + 2 * N, d_inner))
+
+        def dtw_init(key, shape, dtype=jnp.float32):
+            bound = R**-0.5  # dt_init="random", dt_scale=1.0
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        dt_w = self.param("dt_projs_weight", dtw_init, (K, d_inner, R))
+        dt_b = self.param("dt_projs_bias", _dt_bias_init, (K, d_inner))
+
+        def alog_init(key, shape, dtype=jnp.float32):
+            a = jnp.log(jnp.arange(1, N + 1, dtype=dtype))  # (N,)
+            return jnp.broadcast_to(a, shape)
+
+        A_logs = self.param("A_logs", alog_init, (K, d_inner, N))
+        Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
+
+        # ---- cross scan + projections ----
+        xs = cross_scan(xm)  # (B, K, L, d_inner)
+        x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
+        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w)
+
+        # ---- fp32 scan (force_fp32 like reference v2) ----
+        f32 = jnp.float32
+        u = xs.astype(f32).reshape(B * K, L, d_inner)
+        delta = jax.nn.softplus(dts.astype(f32) + dt_b.astype(f32)[None, :, None, :]).reshape(
+            B * K, L, d_inner
+        )
+        A = -jnp.exp(A_logs.astype(f32))  # (K, d_inner, N)
+        A = jnp.broadcast_to(A[None], (B, K, d_inner, N)).reshape(B * K, d_inner, N)
+        Bs_ = Bs.astype(f32).reshape(B * K, L, N)
+        Cs_ = Cs.astype(f32).reshape(B * K, L, N)
+        D_ = jnp.broadcast_to(Ds.astype(f32)[None], (B, K, d_inner)).reshape(B * K, d_inner)
+
+        ys = selective_scan(u, delta, A, Bs_, Cs_, D_, chunk=self.scan_chunk)
+        ys = ys.reshape(B, K, L, d_inner)
+        y = cross_merge(ys, H, W)  # (B, L, d_inner) fp32
+
+        y = nn.LayerNorm(name="out_norm", dtype=jnp.float32)(y)
+        y = y.astype(x.dtype).reshape(B, H, W, d_inner)
+        y = y * z
+        return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
+
+
+class Mlp(nn.Module):
+    """GELU MLP used inside VSSBlock (`vmamba.py` Mlp)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+class VSSBlock(nn.Module):
+    """Pre-norm residual SS2D + MLP block (`vmamba.py:1169-1256`).
+
+    Input/output: (B, H, W, C) channels-last.
+    """
+
+    hidden_dim: int
+    drop_path: float = 0.0
+    ssm_d_state: int = 16
+    ssm_ratio: float = 2.0
+    mlp_ratio: float = 4.0
+    scan_chunk: int = SCAN_CHUNK
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = nn.LayerNorm(name="norm")(x)
+        y = SS2D(
+            self.hidden_dim,
+            d_state=self.ssm_d_state,
+            ssm_ratio=self.ssm_ratio,
+            scan_chunk=self.scan_chunk,
+            name="op",
+        )(y, train)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=not train)
+        y = nn.LayerNorm(name="norm2")(x)
+        y = Mlp(int(self.hidden_dim * self.mlp_ratio), self.hidden_dim, name="mlp")(y)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=not train)

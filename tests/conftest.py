@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a simulated 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via
+`--xla_force_host_platform_device_count` (the standard JAX trick); the
+driver separately compile-checks the TPU path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
