@@ -1,0 +1,164 @@
+"""Matcher + DETR loss tests (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tamtr_tpu.losses import DETRLossConfig, hungarian_match, rtdetr_detection_loss
+
+
+def test_matcher_obvious_assignment():
+    # two gts exactly coincide with queries 2 and 0
+    gt = jnp.array([[[0.2, 0.2, 0.1, 0.1], [0.7, 0.7, 0.2, 0.2]]])  # (1, 2, 4)
+    preds = jnp.array(
+        [[[0.7, 0.7, 0.2, 0.2], [0.4, 0.4, 0.3, 0.3], [0.2, 0.2, 0.1, 0.1]]]
+    )  # (1, 3, 4)
+    scores = jnp.zeros((1, 3, 5))
+    gt_cls = jnp.array([[1, 2]])
+    mask = jnp.ones((1, 2), bool)
+    m = hungarian_match(preds, scores, gt, gt_cls, mask)
+    np.testing.assert_array_equal(np.asarray(m), [[2, 0]])
+
+
+def test_matcher_respects_mask():
+    gt = jnp.tile(jnp.array([[[0.5, 0.5, 0.2, 0.2]]]), (1, 4, 1))
+    preds = jnp.tile(jnp.array([[[0.5, 0.5, 0.2, 0.2]]]), (1, 6, 1))
+    scores = jnp.zeros((1, 6, 3))
+    gt_cls = jnp.zeros((1, 4), jnp.int32)
+    mask = jnp.array([[True, True, False, False]])
+    m = np.asarray(hungarian_match(preds, scores, gt, gt_cls, mask))
+    assert (m[0, 2:] == -1).all()
+    assert (m[0, :2] >= 0).all()
+    assert m[0, 0] != m[0, 1]
+
+
+def _fake_outputs(key, B=2, nq=8, nc=5, ndl=2, num_dn=6, G=1, M=3):
+    ks = jax.random.split(key, 6)
+    shape_q = num_dn + nq
+    return {
+        "dec_bboxes": jax.nn.sigmoid(jax.random.normal(ks[0], (ndl, B, shape_q, 4))),
+        "dec_scores": jax.random.normal(ks[1], (ndl, B, shape_q, nc)),
+        "enc_bboxes": jax.nn.sigmoid(jax.random.normal(ks[2], (B, nq, 4))),
+        "enc_scores": jax.random.normal(ks[3], (B, nq, nc)),
+        "num_dn": num_dn,
+        "dn_groups": G,
+    }
+
+
+def _fake_targets(key, B=2, M=3, nc=5):
+    ks = jax.random.split(key, 3)
+    boxes = jnp.stack(
+        [
+            jax.random.uniform(ks[0], (B, M), minval=0.3, maxval=0.7),
+            jax.random.uniform(ks[1], (B, M), minval=0.3, maxval=0.7),
+            jnp.full((B, M), 0.2),
+            jnp.full((B, M), 0.2),
+        ],
+        axis=-1,
+    )
+    cls = jax.random.randint(ks[2], (B, M), 0, nc)
+    mask = jnp.array([[True, True, False], [True, False, False]])
+    return {"cls": cls, "bboxes": boxes, "mask": mask}
+
+
+def test_loss_finite_and_components():
+    cfg = DETRLossConfig(nc=5)
+    outputs = _fake_outputs(jax.random.PRNGKey(0))
+    targets = _fake_targets(jax.random.PRNGKey(1))
+    total, items = rtdetr_detection_loss(outputs, targets, cfg)
+    assert np.isfinite(float(total))
+    for k in ("giou", "class", "bbox", "loss_class_dn", "loss_bbox_aux"):
+        assert k in items and np.isfinite(float(items[k])), k
+    assert float(total) > 0
+
+
+def test_loss_zero_gt_batch():
+    cfg = DETRLossConfig(nc=5)
+    outputs = _fake_outputs(jax.random.PRNGKey(0))
+    targets = _fake_targets(jax.random.PRNGKey(1))
+    targets["mask"] = jnp.zeros_like(targets["mask"])
+    total, items = rtdetr_detection_loss(outputs, targets, cfg)
+    assert np.isfinite(float(total))
+    np.testing.assert_allclose(float(items["bbox"]), 0.0, atol=1e-6)
+
+
+def test_loss_gradients_flow():
+    cfg = DETRLossConfig(nc=5)
+    targets = _fake_targets(jax.random.PRNGKey(1))
+
+    def f(x):
+        outputs = _fake_outputs(jax.random.PRNGKey(0))
+        outputs = {**outputs, "dec_bboxes": outputs["dec_bboxes"] * x}
+        total, _ = rtdetr_detection_loss(outputs, targets, cfg)
+        return total
+
+    g = jax.grad(f)(1.0)
+    assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+def test_loss_under_jit():
+    cfg = DETRLossConfig(nc=5)
+    outputs = _fake_outputs(jax.random.PRNGKey(0))
+    targets = _fake_targets(jax.random.PRNGKey(1))
+
+    # num_dn/dn_groups are static config; close over them like the train step does
+    nd, G = outputs["num_dn"], outputs["dn_groups"]
+
+    @jax.jit
+    def f(dec_b, dec_s, enc_b, enc_s, targets):
+        o = {
+            "dec_bboxes": dec_b,
+            "dec_scores": dec_s,
+            "enc_bboxes": enc_b,
+            "enc_scores": enc_s,
+            "num_dn": nd,
+            "dn_groups": G,
+        }
+        return rtdetr_detection_loss(o, targets, cfg)[0]
+
+    total = f(
+        outputs["dec_bboxes"],
+        outputs["dec_scores"],
+        outputs["enc_bboxes"],
+        outputs["enc_scores"],
+        targets,
+    )
+    assert np.isfinite(float(total))
+
+
+def test_auction_close_to_optimal(rng):
+    from scipy.optimize import linear_sum_assignment
+
+    from tamtr_tpu.losses.matcher import auction_match
+
+    B, nq, M = 4, 50, 30
+    cost = rng.uniform(0, 10, size=(B, nq, M)).astype(np.float32)
+    mask = np.ones((B, M), bool)
+    mask[1, 20:] = False
+    mask[2, 5:] = False
+    got = np.asarray(auction_match(jnp.asarray(cost), jnp.asarray(mask)))
+    for b in range(B):
+        n = int(mask[b].sum())
+        rows, cols = linear_sum_assignment(cost[b, :, :n])
+        opt = cost[b, rows, cols].sum()
+        q = got[b, :n]
+        assert (q >= 0).all(), f"image {b}: unassigned gts {q}"
+        assert len(np.unique(q)) == n, "duplicate query assignment"
+        auc = cost[b, q, np.arange(n)].sum()
+        assert auc <= opt * 1.01 + 0.05, (b, auc, opt)
+
+
+def test_auction_overfull(rng):
+    """More valid gts than queries: assigns nq of them, no duplicates."""
+    from tamtr_tpu.losses.matcher import auction_match
+
+    B, nq, M = 1, 8, 12
+    cost = rng.uniform(0, 5, size=(B, nq, M)).astype(np.float32)
+    mask = np.ones((B, M), bool)
+    got = np.asarray(auction_match(jnp.asarray(cost), jnp.asarray(mask)))
+    q = got[0]
+    assigned = q[q >= 0]
+    assert len(np.unique(assigned)) == len(assigned)
+    assert len(assigned) <= nq
+    assert len(assigned) >= nq - 1  # auction should saturate the queries
