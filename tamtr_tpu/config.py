@@ -1,0 +1,175 @@
+"""Run configuration mirroring the reference flag schema.
+
+One dataclass with the `cfg/default.yaml` keys that drive behavior (same
+names, same defaults as the reference ships for TAM-TR:
+`cfg/default.yaml:1-119` — batch 4->6 via trainTAMTR, AdamW lr0=1e-4,
+lrf=1.0, warmup_epochs=2000 *iterations*, mosaic 0.0, amp False, iou 0.7).
+`get_cfg` merges default <- file <- overrides with light type checking
+(reference `cfg/__init__.py:95-146`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import yaml
+
+
+@dataclass
+class Config:
+    # task / mode
+    task: str = "detect"
+    mode: str = "train"
+    # train
+    model: Optional[str] = None
+    data: Optional[str] = None
+    epochs: int = 300
+    patience: int = 0  # 0 => early stopping disabled (TAM-TR default)
+    batch: int = 6
+    imgsz: int = 640
+    save: bool = True
+    save_period: int = -1
+    cache: bool = False
+    device: Optional[str] = None
+    workers: int = 8
+    project: Optional[str] = None
+    name: Optional[str] = None
+    exist_ok: bool = False
+    pretrained: bool = True
+    optimizer: str = "AdamW"
+    verbose: bool = True
+    seed: int = 0
+    deterministic: bool = True
+    single_cls: bool = False
+    rect: bool = False
+    cos_lr: bool = False
+    close_mosaic: int = 0
+    resume: bool = False
+    amp: bool = False  # TAM-TR trains fp32 (NaN in matching under fp16)
+    fraction: float = 1.0
+    profile: bool = False
+    freeze: Optional[List[int]] = None
+    # segmentation/classification placeholders (API parity)
+    overlap_mask: bool = True
+    mask_ratio: int = 4
+    dropout: float = 0.0
+    # val / test
+    val: bool = True
+    split: str = "val"
+    save_json: bool = False
+    save_hybrid: bool = False
+    conf: Optional[float] = None
+    iou: float = 0.7
+    max_det: int = 300
+    half: bool = False
+    dnn: bool = False
+    plots: bool = True
+    # predict
+    source: Optional[str] = None
+    show: bool = False
+    save_txt: bool = False
+    save_conf: bool = False
+    save_crop: bool = False
+    show_labels: bool = True
+    show_conf: bool = True
+    vid_stride: int = 1
+    line_width: Optional[int] = None
+    visualize: bool = False
+    augment: bool = False
+    agnostic_nms: bool = False
+    classes: Optional[List[int]] = None
+    retina_masks: bool = False
+    boxes: bool = True
+    # export
+    format: str = "savedmodel"
+    keras: bool = False
+    optimize: bool = False
+    int8: bool = False
+    dynamic: bool = False
+    simplify: bool = False
+    opset: Optional[int] = None
+    workspace: int = 4
+    nms: bool = False
+    # hyperparameters (train recipe)
+    lr0: float = 1e-4
+    lrf: float = 1.0
+    momentum: float = 0.937
+    weight_decay: float = 1e-4
+    warmup_epochs: float = 2000.0  # iterations (reference reads it as such)
+    warmup_momentum: float = 0.8
+    warmup_bias_lr: float = 0.1
+    box: float = 7.5
+    cls: float = 0.5
+    dfl: float = 1.5
+    pose: float = 12.0
+    kobj: float = 1.0
+    label_smoothing: float = 0.0
+    nbs: int = 64
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    degrees: float = 0.0
+    translate: float = 0.1
+    scale: float = 0.9
+    shear: float = 0.0
+    perspective: float = 0.0
+    flipud: float = 0.0
+    fliplr: float = 0.5
+    mosaic: float = 0.0
+    mixup: float = 0.0
+    copy_paste: float = 0.3
+    # TPU-native extensions
+    max_gt: int = 128
+    scan_chunk: int = 128
+    match_method: str = "auto"
+    text_embeddings: Optional[str] = None  # npz with per-class CLIP embeddings
+    n_devices: Optional[int] = None
+    bf16: bool = False
+
+    def asdict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+_FIELDS = {f.name: f for f in dataclasses.fields(Config)}
+
+
+def get_cfg(
+    cfg: Union[str, Path, Dict[str, Any], Config, None] = None,
+    overrides: Optional[Dict[str, Any]] = None,
+) -> Config:
+    """default <- cfg file/dict <- overrides, with unknown-key detection."""
+    base = dataclasses.asdict(Config()) if not isinstance(cfg, Config) else dataclasses.asdict(cfg)
+    if isinstance(cfg, (str, Path)):
+        with open(cfg) as f:
+            base.update(yaml.safe_load(f) or {})
+    elif isinstance(cfg, dict):
+        base.update(cfg)
+    for k, v in (overrides or {}).items():
+        if k not in _FIELDS:
+            close = [n for n in _FIELDS if k.lower() in n.lower() or n.lower() in k.lower()]
+            hint = f" (did you mean {close[0]!r}?)" if close else ""
+            raise KeyError(f"unknown config key {k!r}{hint}")
+        base[k] = v
+    known = {k: v for k, v in base.items() if k in _FIELDS}
+    return Config(**known)
+
+
+def load_data_yaml(path: str | Path) -> Dict[str, Any]:
+    """Dataset yaml: path/train/val/test/nc/names (reference `check_det_dataset`)."""
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    root = Path(d.get("path", Path(path).parent))
+    out = dict(d)
+    for split in ("train", "val", "test"):
+        if d.get(split):
+            p = Path(d[split])
+            out[split] = str(p if p.is_absolute() else root / p)
+    names = d.get("names", {})
+    if isinstance(names, dict):
+        names = [names[k] for k in sorted(names, key=int)]
+    out["names"] = list(names)
+    out["nc"] = int(d.get("nc", len(out["names"])))
+    return out

@@ -1,0 +1,226 @@
+"""Host-side augmentations (numpy + cv2), reference semantics.
+
+Fresh implementations of the reference pipeline (`data/augment.py`, see
+SURVEY.md A.1-A.3): mosaic-4, random perspective/affine, HSV jitter,
+horizontal/vertical flips, letterbox (including the scaleFill stretch mode
+TAM-TR uses for both train and inference). Boxes ride through as Nx4 xyxy
+pixel arrays + class vector.
+
+These run in loader workers on the host; the device pipeline only
+normalizes. All randomness flows through an explicit `np.random.Generator`
+for reproducibility.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+@dataclass
+class Sample:
+    """One image + labels in pixel space."""
+
+    img: np.ndarray  # (H, W, 3) uint8, BGR (cv2 convention; converted at format time)
+    boxes: np.ndarray  # (N, 4) xyxy pixels
+    cls: np.ndarray  # (N,) int32
+
+
+def stretch_resize(sample: Sample, size: int) -> Sample:
+    """scaleFill stretch to (size, size) — the TAM-TR load path
+    (`data/base.py:167-168` with rect_mode=False, `augment.py:702-705`)."""
+    h, w = sample.img.shape[:2]
+    if (h, w) != (size, size):
+        img = cv2.resize(sample.img, (size, size), interpolation=cv2.INTER_LINEAR)
+        sx, sy = size / w, size / h
+        boxes = sample.boxes * np.array([sx, sy, sx, sy], dtype=np.float32)
+    else:
+        img, boxes = sample.img, sample.boxes
+    return Sample(img, boxes.astype(np.float32), sample.cls)
+
+
+def letterbox(
+    sample: Sample, size: int, center: bool = True, color: int = 114
+) -> Tuple[Sample, Tuple[float, float], Tuple[float, float]]:
+    """Aspect-preserving resize + pad (`augment.py:669-735`).
+
+    Returns (sample, ratio, pad) for eval-time box rescaling.
+    """
+    h, w = sample.img.shape[:2]
+    r = min(size / h, size / w)
+    nh, nw = round(h * r), round(w * r)
+    img = cv2.resize(sample.img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    dh, dw = size - nh, size - nw
+    if center:
+        top, left = dh // 2, dw // 2
+    else:
+        top, left = 0, 0
+    out = np.full((size, size, 3), color, dtype=np.uint8)
+    out[top : top + nh, left : left + nw] = img
+    boxes = sample.boxes * r + np.array([left, top, left, top], dtype=np.float32)
+    return Sample(out, boxes.astype(np.float32), sample.cls), (r, r), (left, top)
+
+
+def mosaic4(
+    samples: Sequence[Sample], size: int, rng: np.random.Generator, color: int = 114
+) -> Sample:
+    """4-image mosaic on a 2s x 2s canvas (`augment.py:192-307`)."""
+    s = size
+    yc = int(rng.uniform(s * 0.5, s * 1.5))
+    xc = int(rng.uniform(s * 0.5, s * 1.5))
+    canvas = np.full((2 * s, 2 * s, 3), color, dtype=np.uint8)
+    all_boxes, all_cls = [], []
+    for i, smp in enumerate(samples[:4]):
+        img = smp.img
+        h, w = img.shape[:2]
+        if i == 0:  # top-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top-right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, 2 * s), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(2 * s, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom-right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, 2 * s), min(2 * s, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        padw, padh = x1a - x1b, y1a - y1b
+        if len(smp.boxes):
+            b = smp.boxes + np.array([padw, padh, padw, padh], dtype=np.float32)
+            all_boxes.append(b)
+            all_cls.append(smp.cls)
+    if all_boxes:
+        boxes = np.concatenate(all_boxes, 0)
+        cls = np.concatenate(all_cls, 0)
+        boxes = boxes.clip(0, 2 * s)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        boxes, cls = boxes[keep], cls[keep]
+    else:
+        boxes = np.zeros((0, 4), np.float32)
+        cls = np.zeros((0,), np.int32)
+    return Sample(canvas, boxes, cls)
+
+
+def random_perspective(
+    sample: Sample,
+    rng: np.random.Generator,
+    degrees: float = 0.0,
+    translate: float = 0.1,
+    scale: float = 0.5,
+    shear: float = 0.0,
+    perspective: float = 0.0,
+    border: Tuple[int, int] = (0, 0),
+) -> Sample:
+    """Affine/perspective warp + box transform + candidate filter
+    (`augment.py:371-567`, matrix chain M = T @ S @ R @ P @ C)."""
+    img = sample.img
+    h0, w0 = img.shape[:2]
+    width = w0 + border[1] * 2
+    height = h0 + border[0] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -w0 / 2
+    C[1, 2] = -h0 / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+    M = T @ S @ R @ P @ C
+
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img = cv2.warpPerspective(img, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    boxes, cls = sample.boxes, sample.cls
+    n = len(boxes)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], 1).astype(np.float32)
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        keep = _box_candidates(boxes.T * s, new.T)
+        boxes, cls = new[keep], cls[keep]
+    return Sample(img, boxes, cls)
+
+
+def _box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
+    """Keep boxes with w,h > 2px, area ratio > 0.1, aspect < 100 (`augment.py:547-566`)."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def random_hsv(
+    sample: Sample,
+    rng: np.random.Generator,
+    hgain: float = 0.015,
+    sgain: float = 0.7,
+    vgain: float = 0.4,
+) -> Sample:
+    """HSV jitter via LUTs (`augment.py:569-610`)."""
+    if hgain or sgain or vgain:
+        r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(sample.img, cv2.COLOR_BGR2HSV))
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_hue = ((x * r[0]) % 180).astype(np.uint8)
+        lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
+        lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
+        img = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+        img = cv2.cvtColor(img, cv2.COLOR_HSV2BGR)
+        return Sample(img, sample.boxes, sample.cls)
+    return sample
+
+
+def random_flip(
+    sample: Sample, rng: np.random.Generator, fliplr: float = 0.5, flipud: float = 0.0
+) -> Sample:
+    """Horizontal / vertical flips (`augment.py:612-667`)."""
+    img, boxes = sample.img, sample.boxes.copy()
+    h, w = img.shape[:2]
+    if flipud and rng.random() < flipud:
+        img = np.flipud(img)
+        boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+    if fliplr and rng.random() < fliplr:
+        img = np.fliplr(img)
+        boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    return Sample(np.ascontiguousarray(img), boxes, sample.cls)
+
+
+def mixup(sample1: Sample, sample2: Sample, rng: np.random.Generator) -> Sample:
+    """Beta(32, 32) image blend, labels concatenated (`augment.py:308-327`)."""
+    r = rng.beta(32.0, 32.0)
+    img = (sample1.img.astype(np.float32) * r + sample2.img.astype(np.float32) * (1 - r)).astype(
+        np.uint8
+    )
+    return Sample(
+        img,
+        np.concatenate([sample1.boxes, sample2.boxes], 0),
+        np.concatenate([sample1.cls, sample2.cls], 0),
+    )

@@ -1,0 +1,305 @@
+"""VisDrone/YOLO-format detection dataset + fixed-shape batch loader.
+
+Host pipeline re-design of the reference data layer (`data/base.py`,
+`data/dataset.py`, `data/build.py`):
+
+- YOLO label txts (cls cx cy w h, normalized) next to images
+  (`images/` -> `labels/`), same path convention as the reference.
+- Label verification + npz cache keyed by a file-list hash
+  (reference `verify_image_label` + `.cache`, `data/dataset.py:43-135`).
+- The TAM-TR train path stretches every image square (rect_mode=False) and
+  applies mosaic(p)/perspective/HSV/flip; val is plain stretch (SURVEY A.3).
+- Collation pads ground truth to `max_gt` with a validity mask — the
+  static-shape contract the jit train step needs (SURVEY A.12) — instead of
+  the reference's ragged concat.
+- `build_loader` shards the global batch across processes for multi-host
+  data parallelism (the DistributedSampler equivalent) and prefetches with
+  a thread pool of workers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tamtr_tpu.data import augment as A
+
+IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+
+
+@dataclass
+class AugConfig:
+    """Mirrors the reference hyp keys (`cfg/default.yaml:100-117`)."""
+
+    mosaic: float = 0.0  # TAM-TR ships mosaic off
+    mixup: float = 0.0
+    degrees: float = 0.0
+    translate: float = 0.1
+    scale: float = 0.9
+    shear: float = 0.0
+    perspective: float = 0.0
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    fliplr: float = 0.5
+    flipud: float = 0.0
+
+
+def _img2label_path(img_path: str) -> str:
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    p = Path(img_path)
+    return str(p.parent.parent / "labels" / (p.stem + ".txt")) if sa in str(p) else str(
+        p.with_suffix(".txt")
+    ).replace(sa, sb)
+
+
+class DetectionDataset:
+    """Images + YOLO labels with normalized-xywh -> pixel-xyxy conversion."""
+
+    def __init__(
+        self,
+        img_dir: str | Path | Sequence[str],
+        imgsz: int = 640,
+        augment: bool = False,
+        aug: Optional[AugConfig] = None,
+        cache_labels: bool = True,
+        seed: int = 0,
+    ) -> None:
+        self.imgsz = imgsz
+        self.augment = augment
+        self.aug = aug or AugConfig()
+        self.im_files = self._glob_images(img_dir)
+        if not self.im_files:
+            raise FileNotFoundError(f"no images found under {img_dir}")
+        self.label_files = [_img2label_path(f) for f in self.im_files]
+        self.labels = self._load_labels(cache_labels)
+        self._rng = np.random.default_rng(seed)
+        self._mosaic_on = self.aug.mosaic > 0
+
+    @staticmethod
+    def _glob_images(src) -> List[str]:
+        files: List[str] = []
+        for p in [src] if isinstance(src, (str, Path)) else list(src):
+            p = Path(p)
+            if p.is_dir():
+                files += sorted(
+                    str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_EXTS
+                )
+            elif p.is_file() and p.suffix == ".txt":
+                base = p.parent
+                for line in p.read_text().splitlines():
+                    line = line.strip()
+                    if line:
+                        f = Path(line)
+                        files.append(str(f if f.is_absolute() else base / f))
+            elif p.is_file():
+                files.append(str(p))
+        return files
+
+    def _cache_path(self) -> Path:
+        h = hashlib.sha1("".join(self.im_files).encode()).hexdigest()[:16]
+        return Path(self.label_files[0]).parent / f".tamtr_labels_{h}.npz"
+
+    def _load_labels(self, use_cache: bool) -> List[Dict[str, np.ndarray]]:
+        cp = self._cache_path()
+        if use_cache and cp.exists():
+            try:
+                z = np.load(cp, allow_pickle=True)
+                labels = list(z["labels"])
+                if len(labels) == len(self.im_files):
+                    return labels
+            except Exception:
+                pass
+        labels = []
+        for lf in self.label_files:
+            try:
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")  # empty label file => no objects
+                    arr = np.loadtxt(lf, ndmin=2, dtype=np.float32)
+            except (OSError, ValueError):
+                arr = np.zeros((0, 5), np.float32)
+            if arr.size == 0:
+                arr = np.zeros((0, 5), np.float32)
+            # dedupe exact rows (reference verify_image_label)
+            if len(arr):
+                arr = np.unique(arr, axis=0)
+                arr = arr[(arr[:, 1:] >= 0).all(1) & (arr[:, 1:5] <= 1).all(1)]
+            labels.append({"cls": arr[:, 0].astype(np.int32), "xywhn": arr[:, 1:5]})
+        if use_cache:
+            try:
+                np.savez_compressed(cp, labels=np.array(labels, dtype=object))
+            except Exception:
+                pass
+        return labels
+
+    def __len__(self) -> int:
+        return len(self.im_files)
+
+    def _read(self, i: int) -> A.Sample:
+        import cv2
+
+        img = cv2.imread(self.im_files[i])
+        if img is None:
+            raise FileNotFoundError(self.im_files[i])
+        h, w = img.shape[:2]
+        lab = self.labels[i]
+        xywhn = lab["xywhn"]
+        boxes = np.empty((len(xywhn), 4), np.float32)
+        if len(xywhn):
+            cx, cy, bw, bh = (xywhn * np.array([w, h, w, h], np.float32)).T
+            boxes[:, 0] = cx - bw / 2
+            boxes[:, 1] = cy - bh / 2
+            boxes[:, 2] = cx + bw / 2
+            boxes[:, 3] = cy + bh / 2
+        return A.Sample(img, boxes, lab["cls"].copy())
+
+    def close_mosaic(self) -> None:
+        """Disable mosaic for the final epochs (reference `close_mosaic`)."""
+        self._mosaic_on = False
+
+    def get(self, i: int, rng: Optional[np.random.Generator] = None) -> A.Sample:
+        """Load + augment one sample at imgsz (stretch/scaleFill path)."""
+        rng = rng or self._rng
+        s = self.imgsz
+        if self.augment:
+            if self._mosaic_on and rng.random() < self.aug.mosaic:
+                idxs = [i] + list(rng.integers(0, len(self), 3))
+                parts = [A.stretch_resize(self._read(j), s) for j in idxs]
+                smp = A.mosaic4(parts, s, rng)
+                border = (-s // 2, -s // 2)
+            else:
+                smp = A.stretch_resize(self._read(i), s)
+                border = (0, 0)
+            smp = A.random_perspective(
+                smp,
+                rng,
+                degrees=self.aug.degrees,
+                translate=self.aug.translate,
+                scale=self.aug.scale,
+                shear=self.aug.shear,
+                perspective=self.aug.perspective,
+                border=border,
+            )
+            if self.aug.mixup and rng.random() < self.aug.mixup:
+                j = int(rng.integers(0, len(self)))
+                other = A.random_perspective(
+                    A.stretch_resize(self._read(j), s), rng, scale=self.aug.scale,
+                    translate=self.aug.translate,
+                )
+                smp = A.mixup(smp, other, rng)
+            smp = A.random_hsv(smp, rng, self.aug.hsv_h, self.aug.hsv_s, self.aug.hsv_v)
+            smp = A.random_flip(smp, rng, self.aug.fliplr, self.aug.flipud)
+        else:
+            smp = A.stretch_resize(self._read(i), s)
+        return smp
+
+
+def collate(
+    samples: Sequence[A.Sample], max_gt: int, imgsz: int
+) -> Dict[str, np.ndarray]:
+    """Fixed-shape batch dict (SURVEY A.12 contract, padded)."""
+    B = len(samples)
+    img = np.stack([s.img[..., ::-1] for s in samples]).astype(np.uint8)  # BGR->RGB
+    cls = np.zeros((B, max_gt), np.int32)
+    boxes = np.zeros((B, max_gt, 4), np.float32)
+    mask = np.zeros((B, max_gt), bool)
+    for b, s in enumerate(samples):
+        n = min(len(s.cls), max_gt)
+        if n:
+            # largest boxes first when truncating (stable detection signal)
+            if len(s.cls) > max_gt:
+                areas = (s.boxes[:, 2] - s.boxes[:, 0]) * (s.boxes[:, 3] - s.boxes[:, 1])
+                order = np.argsort(-areas)[:max_gt]
+            else:
+                order = np.arange(n)
+            b_xyxy = s.boxes[order]
+            cx = (b_xyxy[:, 0] + b_xyxy[:, 2]) / 2 / imgsz
+            cy = (b_xyxy[:, 1] + b_xyxy[:, 3]) / 2 / imgsz
+            bw = (b_xyxy[:, 2] - b_xyxy[:, 0]) / imgsz
+            bh = (b_xyxy[:, 3] - b_xyxy[:, 1]) / imgsz
+            boxes[b, :n] = np.stack([cx, cy, bw, bh], -1)
+            cls[b, :n] = s.cls[order]
+            mask[b, :n] = True
+    return {"img": img, "cls": cls, "bboxes": boxes, "mask": mask}
+
+
+def build_loader(
+    dataset: DetectionDataset,
+    batch_size: int,
+    max_gt: int = 128,
+    shuffle: bool = True,
+    seed: int = 0,
+    workers: int = 8,
+    process_index: int = 0,
+    process_count: int = 1,
+    drop_last: bool = True,
+    prefetch: int = 4,
+) -> "Loader":
+    return Loader(
+        dataset, batch_size, max_gt, shuffle, seed, workers, process_index, process_count,
+        drop_last, prefetch,
+    )
+
+
+class Loader:
+    """Threaded prefetching loader with per-epoch shuffling + host sharding."""
+
+    def __init__(
+        self, dataset, batch_size, max_gt, shuffle, seed, workers,
+        process_index, process_count, drop_last, prefetch,
+    ):
+        self.ds = dataset
+        self.bs = batch_size
+        self.max_gt = max_gt
+        self.shuffle = shuffle
+        self.seed = seed
+        self.workers = workers
+        self.pi = process_index
+        self.pc = process_count
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.pc
+        return n // self.bs if self.drop_last else math.ceil(n / self.bs)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        idxs = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(idxs)
+        idxs = idxs[self.pi :: self.pc]  # per-host shard
+        n_batches = len(self)
+        pool = ThreadPoolExecutor(max_workers=self.workers)
+        try:
+            def make_batch(bi):
+                batch_idx = idxs[bi * self.bs : (bi + 1) * self.bs]
+                srng = np.random.default_rng((self.seed, self.epoch, bi))
+                samples = [self.ds.get(int(i), srng) for i in batch_idx]
+                return collate(samples, self.max_gt, self.ds.imgsz)
+
+            futures = {}
+            for bi in range(min(self.prefetch, n_batches)):
+                futures[bi] = pool.submit(make_batch, bi)
+            for bi in range(n_batches):
+                nxt = bi + self.prefetch
+                if nxt < n_batches:
+                    futures[nxt] = pool.submit(make_batch, nxt)
+                yield futures.pop(bi).result()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)

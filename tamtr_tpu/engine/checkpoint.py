@@ -1,0 +1,46 @@
+"""Checkpoint save/resume (orbax pytrees; the reference's `.pt` dicts).
+
+The reference pickles {epoch, best_fitness, model+EMA halves, optimizer,
+train_args, ...} (`engine/trainer.py:422-447`) and resumes via
+`check_resume`/`resume_training` (`trainer.py:568-622`). Here the whole
+TrainState is one pytree; orbax handles multi-host writes natively.
+Layout: <run_dir>/weights/{last,best}/ + a small metadata json.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(
+    path: str | Path,
+    state,
+    metadata: Optional[Dict[str, Any]] = None,
+) -> None:
+    path = Path(path).resolve()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    if metadata is not None:
+        (path.parent / (path.name + ".meta.json")).write_text(json.dumps(metadata))
+
+
+def load_checkpoint(path: str | Path, target) -> Tuple[Any, Dict[str, Any]]:
+    """Restore into the structure of `target` (an abstract or concrete state)."""
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(path, target)
+    meta_path = path.parent / (path.name + ".meta.json")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return state, meta
+
+
+def strip_for_inference(state) -> Dict[str, Any]:
+    """EMA weights only (the reference's `strip_optimizer`)."""
+    return {"params": state.ema_params, "batch_stats": state.ema_batch_stats}

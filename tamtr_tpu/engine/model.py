@@ -1,0 +1,314 @@
+"""Engine: orchestrates train/val/predict for the TAMTR facade.
+
+The reference splits this across `engine/{model,trainer,validator,predictor}.py`
+plus the rtdetrworld task overrides; here one Engine wires the TPU-native
+pieces: data loaders (host), jit train/eval steps (device), metrics (host),
+orbax checkpoints, and the precomputed text-embedding table.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tamtr_tpu.config import Config, get_cfg, load_data_yaml
+from tamtr_tpu.data.dataset import AugConfig, DetectionDataset, build_loader
+from tamtr_tpu.data.text import class_text_embeddings
+from tamtr_tpu.losses.detr_loss import DETRLossConfig, rtdetr_detection_loss
+from tamtr_tpu.nn.graph import TAMTRModel
+from tamtr_tpu.ops.nms import postprocess_predictions
+from tamtr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from tamtr_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
+from tamtr_tpu.utils.log import LOGGER
+from tamtr_tpu.utils.metrics import DetMetrics, match_predictions
+
+
+class EarlyStopping:
+    """Stop after `patience` epochs without fitness improvement
+    (reference `utils/torch_utils.py:527`); patience<=0 disables."""
+
+    def __init__(self, patience: int = 0):
+        self.patience = patience or float("inf")
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness >= self.best_fitness:
+            self.best_fitness = fitness
+            self.best_epoch = epoch
+        return (epoch - self.best_epoch) >= self.patience
+
+
+class Engine:
+    def __init__(self, model_cfg: str = "tamtr.yaml") -> None:
+        self.model_cfg = model_cfg
+        self.model: Optional[TAMTRModel] = None
+        self.state = None
+        self.names: List[str] = []
+        self.txt_feats: Optional[np.ndarray] = None
+        self.cfg: Optional[Config] = None
+
+    # ------------------------------------------------------------------ train
+    def train(self, **overrides: Any) -> Dict[str, float]:
+        cfg = get_cfg(overrides=overrides)
+        self.cfg = cfg
+        assert cfg.data, "train requires data=..."
+        data = load_data_yaml(cfg.data)
+        nc = data["nc"]
+        self.names = data["names"]
+        self.txt_feats = class_text_embeddings(self.names, npz_path=cfg.text_embeddings)
+
+        n_avail = len(jax.devices())
+        n_dev = cfg.n_devices or max(
+            d for d in range(1, n_avail + 1) if cfg.batch % d == 0
+        )
+        mesh = make_mesh(n_dev)
+        assert cfg.batch % n_dev == 0, (
+            f"batch {cfg.batch} must divide over {n_dev} devices"
+        )
+
+        aug = AugConfig(
+            mosaic=cfg.mosaic, mixup=cfg.mixup, degrees=cfg.degrees,
+            translate=cfg.translate, scale=cfg.scale, shear=cfg.shear,
+            perspective=cfg.perspective, hsv_h=cfg.hsv_h, hsv_s=cfg.hsv_s,
+            hsv_v=cfg.hsv_v, fliplr=cfg.fliplr, flipud=cfg.flipud,
+        )
+        train_ds = DetectionDataset(
+            data["train"], imgsz=cfg.imgsz, augment=True, aug=aug, seed=cfg.seed
+        )
+        loader = build_loader(
+            train_ds, cfg.batch, max_gt=cfg.max_gt, seed=cfg.seed, workers=cfg.workers,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        steps_per_epoch = len(loader)
+
+        model = TAMTRModel.from_yaml(
+            self.model_cfg, nc=nc, max_gt=cfg.max_gt, scan_chunk=cfg.scan_chunk
+        )
+        self.model = model
+        tc = TrainConfig(
+            lr0=cfg.lr0, lrf=cfg.lrf, momentum=cfg.momentum,
+            weight_decay=cfg.weight_decay, warmup_iters=int(cfg.warmup_epochs),
+            warmup_bias_lr=cfg.warmup_bias_lr, epochs=cfg.epochs,
+            batch_size=cfg.batch, nbs=cfg.nbs, match_method=cfg.match_method,
+        )
+        state, tx = create_train_state(
+            model, jax.random.PRNGKey(cfg.seed), tc,
+            (cfg.batch, cfg.imgsz, cfg.imgsz, 3), nc,
+            steps_per_epoch=steps_per_epoch, max_gt=cfg.max_gt,
+        )
+        loss_cfg = DETRLossConfig(nc=nc, match_method=cfg.match_method)
+        step_fn = make_train_step(model, tx, loss_cfg, tc)
+
+        repl, bsh = replicated(mesh), batch_sharding(mesh)
+        state = jax.device_put(state, repl)
+        jit_step = jax.jit(
+            step_fn, in_shardings=(repl, bsh, None), out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+        run_dir = Path(cfg.project or "runs/detect") / (cfg.name or "train")
+        run_dir.mkdir(parents=True, exist_ok=True)
+        csv_path = run_dir / "results.csv"
+        stopper = EarlyStopping(cfg.patience)
+        txt = np.tile(self.txt_feats[None], (cfg.batch, 1, 1)).astype(np.float32)
+        best_fitness = 0.0
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        LOGGER.info(
+            f"training {self.model_cfg}: nc={nc} imgsz={cfg.imgsz} batch={cfg.batch} "
+            f"devices={n_dev} steps/epoch={steps_per_epoch}"
+        )
+        metrics_out: Dict[str, float] = {}
+        for epoch in range(cfg.epochs):
+            if cfg.close_mosaic and epoch == cfg.epochs - cfg.close_mosaic:
+                train_ds.close_mosaic()
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            agg = {"loss": 0.0, "giou": 0.0, "class": 0.0, "bbox": 0.0}
+            n_steps = 0
+            for batch in loader:
+                dev_batch = shard_batch(
+                    {
+                        "img": batch["img"].astype(np.float32) / 255.0,
+                        "txt_feats": txt,
+                        "cls": batch["cls"],
+                        "bboxes": batch["bboxes"],
+                        "mask": batch["mask"],
+                    },
+                    mesh,
+                )
+                state, m = jit_step(state, dev_batch, rng)
+                n_steps += 1
+                if n_steps % 50 == 0 or n_steps == steps_per_epoch:
+                    for k in agg:
+                        agg[k] += float(m[k])
+            dt = time.time() - t0
+            ips = n_steps * cfg.batch / max(dt, 1e-9)
+            LOGGER.info(
+                f"epoch {epoch + 1}/{cfg.epochs}: loss={float(m['loss']):.3f} "
+                f"giou={float(m['giou']):.3f} cls={float(m['class']):.3f} "
+                f"bbox={float(m['bbox']):.3f} {ips:.1f} img/s"
+            )
+            # validation + checkpointing (host 0)
+            row = {
+                "epoch": epoch + 1, "loss": float(m["loss"]), "giou": float(m["giou"]),
+                "class": float(m["class"]), "bbox": float(m["bbox"]), "img_per_sec": ips,
+            }
+            if cfg.val and data.get("val"):
+                self.state = state
+                metrics_out = self._validate(
+                    model, state, data, cfg, use_ema=True
+                )
+                row.update(metrics_out)
+                fitness = metrics_out.get("fitness", 0.0)
+                if jax.process_index() == 0 and cfg.save:
+                    from tamtr_tpu.engine.checkpoint import save_checkpoint
+
+                    save_checkpoint(run_dir / "weights" / "last", state, {"epoch": epoch})
+                    if fitness >= best_fitness:
+                        best_fitness = fitness
+                        save_checkpoint(run_dir / "weights" / "best", state, {"epoch": epoch})
+                if stopper(epoch, fitness):
+                    LOGGER.info(f"early stopping at epoch {epoch + 1}")
+                    break
+            self._append_csv(csv_path, row)
+        self.state = state
+        return metrics_out
+
+    # -------------------------------------------------------------------- val
+    def val(self, **overrides: Any) -> Dict[str, float]:
+        cfg = get_cfg(self.cfg, overrides=overrides)
+        assert cfg.data, "val requires data=..."
+        data = load_data_yaml(cfg.data)
+        if self.model is None:
+            self.names = data["names"]
+            self.txt_feats = class_text_embeddings(self.names, npz_path=cfg.text_embeddings)
+            self.model = TAMTRModel.from_yaml(
+                self.model_cfg, nc=data["nc"], max_gt=cfg.max_gt, scan_chunk=cfg.scan_chunk
+            )
+            if self.state is None:
+                raise RuntimeError("no weights loaded; train first or load a checkpoint")
+        return self._validate(self.model, self.state, data, cfg, use_ema=True)
+
+    def _validate(self, model, state, data, cfg: Config, use_ema: bool = True) -> Dict[str, float]:
+        split_dir = data.get(cfg.split) or data.get("val")
+        ds = DetectionDataset(split_dir, imgsz=cfg.imgsz, augment=False)
+        variables = {
+            "params": state.ema_params if use_ema else state.params,
+            "batch_stats": state.ema_batch_stats if use_ema else state.batch_stats,
+        }
+        conf = cfg.conf if cfg.conf is not None else 0.4
+
+        @jax.jit
+        def eval_step(variables, img, txt):
+            out = model.apply(variables, img, txt, None, False)["pred"]
+            return postprocess_predictions(out, conf, cfg.iou, cfg.max_det)
+
+        metrics = DetMetrics()
+        bs = max(cfg.batch, 1)
+        txt_all = jnp.asarray(self.txt_feats[None])
+        n = len(ds)
+        t0 = time.time()
+        for start in range(0, n, bs):
+            idxs = list(range(start, min(start + bs, n)))
+            raws = [ds._read(i) for i in idxs]
+            imgs = []
+            for r in raws:
+                import cv2
+
+                imgs.append(
+                    cv2.resize(r.img, (cfg.imgsz, cfg.imgsz))[..., ::-1].astype(np.float32) / 255.0
+                )
+            # pad batch to bs for a single compiled shape
+            while len(imgs) < bs:
+                imgs.append(np.zeros_like(imgs[0]))
+            img = jnp.asarray(np.stack(imgs))
+            txt = jnp.broadcast_to(txt_all, (bs,) + txt_all.shape[1:])
+            boxes, scores, labels, valid = jax.device_get(eval_step(variables, img, txt))
+            for k, i in enumerate(idxs):
+                r = raws[k]
+                oh, ow = r.img.shape[:2]
+                sel = valid[k] & (scores[k] > 0)
+                pb = boxes[k][sel] * np.array([ow, oh, ow, oh], np.float32)
+                pc = labels[k][sel].astype(np.float32)
+                ps = scores[k][sel]
+                tp = match_predictions(pb, pc, r.boxes, r.cls.astype(np.float32))
+                metrics.update(tp, ps, pc, r.cls.astype(np.float32))
+        res = metrics.compute()
+        res["images_per_sec"] = n / max(time.time() - t0, 1e-9)
+        LOGGER.info(
+            f"val: mAP50={res['mAP50']:.4f} mAP50-95={res['mAP50-95']:.4f} "
+            f"P={res['precision']:.4f} R={res['recall']:.4f} ({res['images_per_sec']:.1f} img/s)"
+        )
+        return res
+
+    # ---------------------------------------------------------------- predict
+    def predict(self, source: Any, **overrides: Any) -> List[Dict[str, np.ndarray]]:
+        cfg = get_cfg(self.cfg, overrides=overrides)
+        import cv2
+
+        assert self.model is not None and self.state is not None, "load/train a model first"
+        paths: List[str]
+        if isinstance(source, (str, Path)):
+            p = Path(source)
+            paths = (
+                sorted(str(f) for f in p.rglob("*") if f.suffix.lower() in
+                       {".jpg", ".jpeg", ".png", ".bmp", ".webp"})
+                if p.is_dir() else [str(p)]
+            )
+        else:
+            paths = list(source)
+        variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
+        conf = cfg.conf if cfg.conf is not None else 0.25
+
+        @jax.jit
+        def eval_step(variables, img, txt):
+            out = self.model.apply(variables, img, txt, None, False)["pred"]
+            return postprocess_predictions(out, conf, cfg.iou, cfg.max_det)
+
+        txt = jnp.asarray(self.txt_feats[None])
+        results = []
+        for path in paths:
+            im0 = cv2.imread(path)
+            oh, ow = im0.shape[:2]
+            img = cv2.resize(im0, (cfg.imgsz, cfg.imgsz))[..., ::-1].astype(np.float32) / 255.0
+            boxes, scores, labels, valid = jax.device_get(
+                eval_step(variables, jnp.asarray(img[None]), txt)
+            )
+            sel = valid[0] & (scores[0] > 0)
+            results.append(
+                {
+                    "path": path,
+                    "boxes": boxes[0][sel] * np.array([ow, oh, ow, oh], np.float32),
+                    "scores": scores[0][sel],
+                    "labels": labels[0][sel],
+                    "names": self.names,
+                }
+            )
+        return results
+
+    def set_classes(self, classes: List[str], embeddings: Optional[np.ndarray] = None) -> None:
+        """Open-vocabulary retarget (reference `RTDETRWorld.set_classes`)."""
+        self.names = list(classes)
+        self.txt_feats = (
+            np.asarray(embeddings, np.float32)
+            if embeddings is not None
+            else class_text_embeddings(self.names)
+        )
+
+    @staticmethod
+    def _append_csv(path: Path, row: Dict[str, Any]) -> None:
+        new = not path.exists()
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if new:
+                w.writeheader()
+            w.writerow(row)

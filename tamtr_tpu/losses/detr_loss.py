@@ -42,6 +42,7 @@ class DETRLossConfig:
     fl_alpha: float = 0.25
     fl_gamma: float = 1.5
     aux_loss: bool = True
+    match_method: str = "auto"
 
 
 def _pair_losses(
@@ -116,7 +117,9 @@ def _matched_losses(
     gt_mask: jnp.ndarray,
 ) -> Dict[str, jnp.ndarray]:
     """One layer with its own Hungarian assignment."""
-    q_for_gt = hungarian_match(pred_bboxes, pred_scores, gt_bboxes, gt_cls, gt_mask)
+    q_for_gt = hungarian_match(
+        pred_bboxes, pred_scores, gt_bboxes, gt_cls, gt_mask, method=cfg.match_method
+    )
     M = gt_bboxes.shape[1]
     gt_idx = jnp.broadcast_to(jnp.arange(M)[None], q_for_gt.shape)
     valid = gt_mask & (q_for_gt >= 0)

@@ -150,9 +150,10 @@ def hungarian_match(
       gt_bboxes: (B, M, 4) cxcywh.
       gt_cls: (B, M) int32.
       gt_mask: (B, M) bool validity (valid entries must be contiguous from 0).
-      method: "scipy" (exact, host callback), "auction" (on-device), or
-        "auto" (auction on TPU — the axon runtime has no callback channel —
-        scipy elsewhere).
+      method: "scipy" (exact, host callback; test oracle only — callbacks
+        are unavailable on the serving TPU runtime and force pathological
+        maximal-device partitioning under SPMD) or "auction"/"auto"
+        (on-device, the production path everywhere).
     Returns:
       (B, M) int32: matched query index per gt, -1 for unmatched/padding.
     """
@@ -174,9 +175,7 @@ def hungarian_match(
     C = COST_CLASS * cost_class + COST_BBOX * cost_bbox + COST_GIOU * cost_giou
     C = jnp.nan_to_num(C, nan=0.0, posinf=0.0, neginf=0.0)
 
-    if method == "auto":
-        method = "auction" if jax.default_backend() == "tpu" else "scipy"
-    if method == "auction":
+    if method in ("auto", "auction"):
         return auction_match(C, gt_mask)
 
     n_valid = gt_mask.sum(axis=1).astype(jnp.int32)

@@ -42,12 +42,12 @@ from tamtr_tpu.nn.layers import DropPath
 # giving the VPU long enough vectors.
 SCAN_CHUNK = 128
 
-_SCAN_IMPL = "xla"  # switched to "pallas" by tamtr_tpu.kernels when available
+_SCAN_IMPL = "auto"  # auto: pallas on TPU, xla elsewhere
 
 
 def set_scan_impl(name: str) -> None:
     global _SCAN_IMPL
-    assert name in ("xla", "pallas")
+    assert name in ("auto", "xla", "pallas")
     _SCAN_IMPL = name
 
 
@@ -128,10 +128,14 @@ def selective_scan_xla(
 
 def selective_scan(u, delta, A, Bs, Cs, D, chunk: int = SCAN_CHUNK) -> jnp.ndarray:
     """Dispatch to the active selective-scan implementation."""
-    if _SCAN_IMPL == "pallas":
+    impl = _SCAN_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
         from tamtr_tpu.kernels.selective_scan import selective_scan_pallas
 
-        return selective_scan_pallas(u, delta, A, Bs, Cs, D, chunk=chunk)
+        # the Pallas kernel prefers larger chunks (fewer grid steps)
+        return selective_scan_pallas(u, delta, A, Bs, Cs, D, max(chunk, 256))
     return selective_scan_xla(u, delta, A, Bs, Cs, D, chunk=chunk)
 
 

@@ -1,0 +1,107 @@
+"""Vectorized fixed-size NMS for TPU.
+
+Replaces `torchvision.ops.nms` (the reference's C++/CUDA kernel, used in
+`models/rtdetrworld/{val,predict}.py`) with a static-shape greedy
+suppression: one O(N^2) IoU matrix + a sequential keep sweep in a
+`fori_loop` (N = num queries = 100-300, so the matrix is tiny). The
+multi-class "max_wh class offset" trick is replicated so boxes of different
+classes never suppress each other.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tamtr_tpu.ops.boxes import box_iou_pairwise
+
+MAX_WH = 7680.0  # class offset (reference `utils/ops.py` trick)
+
+
+@partial(jax.jit, static_argnames=("max_det",))
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    max_det: int = 300,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS on xyxy boxes.
+
+    Args:
+      boxes: (N, 4) xyxy.
+      scores: (N,) confidence; entries <= 0 are ignored.
+    Returns:
+      keep: (max_det,) int32 indices into the input (score-sorted), -1 padded.
+      keep_mask: (max_det,) bool.
+    """
+    N = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    iou = box_iou_pairwise(b, b)
+
+    def body(i, alive):
+        keep_i = alive[i] & (s[i] > 0)
+        suppress = keep_i & (iou[i] > iou_threshold) & (jnp.arange(N) > i)
+        return alive & ~suppress
+
+    alive = jax.lax.fori_loop(0, N, body, jnp.ones((N,), bool))
+    alive = alive & (s > 0)
+    # compact the kept indices to the front, -1 padded
+    rank = jnp.cumsum(alive) - 1
+    out = jnp.full((max_det,), -1, jnp.int32)
+    src = jnp.where(alive, rank, max_det)
+    out = out.at[src].set(order.astype(jnp.int32), mode="drop")
+    return out, out >= 0
+
+
+@partial(jax.jit, static_argnames=("max_det",))
+def multiclass_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    iou_threshold: float = 0.45,
+    max_det: int = 300,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-class NMS via the class-offset trick."""
+    off = labels.astype(boxes.dtype)[:, None] * MAX_WH
+    return nms(boxes + off, scores, iou_threshold, max_det)
+
+
+@partial(jax.jit, static_argnames=("max_det",))
+def postprocess_predictions(
+    pred: jnp.ndarray,
+    conf_thres: float = 0.4,
+    iou_thres: float = 0.6,
+    max_det: int = 300,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode the head's eval output for a batch.
+
+    Mirrors `RTDETRValidator.postprocess` / `RTDETRPredictor.postprocess`
+    (`models/rtdetrworld/val.py:102-126`, `predict.py:34-78`): split
+    (4, nc), boxes are normalized cxcywh (scaled by the caller), take the
+    best class per box, confidence filter, then class-offset NMS.
+
+    Args:
+      pred: (B, nq, 4 + nc) — normalized cxcywh + sigmoid scores.
+    Returns:
+      boxes_xyxy (B, max_det, 4) normalized, scores (B, max_det),
+      labels (B, max_det) int32, valid (B, max_det) bool.
+    """
+    from tamtr_tpu.ops.boxes import xywh2xyxy
+
+    bboxes = xywh2xyxy(pred[..., :4])
+    cls_scores = pred[..., 4:]
+    scores = cls_scores.max(-1)
+    labels = cls_scores.argmax(-1)
+    scores = jnp.where(scores >= conf_thres, scores, 0.0)
+
+    def per_image(b, s, l):
+        keep, valid = multiclass_nms(b, s, l, iou_thres, max_det)
+        safe = jnp.where(valid, keep, 0)
+        return b[safe], jnp.where(valid, s[safe], 0.0), l[safe].astype(jnp.int32), valid
+
+    return jax.vmap(per_image)(bboxes, scores, labels)

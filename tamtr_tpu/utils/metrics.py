@@ -1,0 +1,143 @@
+"""Detection metrics: AP / mAP50 / mAP50-95 with COCO-style 101-pt interpolation.
+
+Host-side numpy port of the reference metrics engine
+(`utils/metrics.py:999-1387` — `compute_ap`, `ap_per_class`, `DetMetrics`;
+`engine/validator.py:208-247` — `match_predictions`). The per-image TP table
+is built exactly like the reference: greedy IoU matching at 10 thresholds
+0.5:0.05:0.95, each gt used at most once per threshold, highest-IoU pairs
+first. Fitness = 0.1 * mAP50 + 0.9 * mAP50-95.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+IOUV = np.linspace(0.5, 0.95, 10)
+
+
+def box_iou_np(a: np.ndarray, b: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """(N,4) x (M,4) xyxy -> (N,M) IoU."""
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = np.clip(br - tl, 0, None).prod(-1)
+    area_a = np.clip(a[:, 2:] - a[:, :2], 0, None).prod(-1)
+    area_b = np.clip(b[:, 2:] - b[:, :2], 0, None).prod(-1)
+    return inter / (area_a[:, None] + area_b[None, :] - inter + eps)
+
+
+def match_predictions(
+    pred_boxes: np.ndarray,
+    pred_cls: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_cls: np.ndarray,
+    iouv: np.ndarray = IOUV,
+) -> np.ndarray:
+    """Per-image TP table (Npred, len(iouv)) bool (reference `validator.py:208-247`)."""
+    correct = np.zeros((len(pred_cls), len(iouv)), dtype=bool)
+    if len(gt_cls) == 0 or len(pred_cls) == 0:
+        return correct
+    iou = box_iou_np(gt_boxes, pred_boxes)
+    correct_class = gt_cls[:, None] == pred_cls[None, :]
+    iou = iou * correct_class
+    for i, thr in enumerate(iouv):
+        gi, pi = np.nonzero(iou >= thr)
+        if len(gi):
+            m = np.stack([gi, pi, iou[gi, pi]], 1)
+            m = m[m[:, 2].argsort()[::-1]]
+            m = m[np.unique(m[:, 1], return_index=True)[1]]
+            m = m[m[:, 2].argsort()[::-1]]
+            m = m[np.unique(m[:, 0], return_index=True)[1]]
+            correct[m[:, 1].astype(int), i] = True
+    return correct
+
+
+def compute_ap(recall: np.ndarray, precision: np.ndarray) -> Tuple[float, np.ndarray, np.ndarray]:
+    """101-point interpolated AP (reference `compute_ap`, `utils/metrics.py:999`)."""
+    mrec = np.concatenate(([0.0], recall, [1.0]))
+    mpre = np.concatenate(([1.0], precision, [0.0]))
+    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+    x = np.linspace(0, 1, 101)
+    ap = np.trapezoid(np.interp(x, mrec, mpre), x)
+    return float(ap), mpre, mrec
+
+
+def ap_per_class(
+    tp: np.ndarray,
+    conf: np.ndarray,
+    pred_cls: np.ndarray,
+    target_cls: np.ndarray,
+    eps: float = 1e-16,
+) -> Dict[str, np.ndarray]:
+    """AP per class over all images (reference `ap_per_class`, `utils/metrics.py:1032`)."""
+    order = np.argsort(-conf)
+    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
+    unique_classes, nt = np.unique(target_cls, return_counts=True)
+    nc = len(unique_classes)
+    ap = np.zeros((nc, tp.shape[1]))
+    p = np.zeros(nc)
+    r = np.zeros(nc)
+    for ci, c in enumerate(unique_classes):
+        sel = pred_cls == c
+        n_l = nt[ci]
+        n_p = sel.sum()
+        if n_p == 0 or n_l == 0:
+            continue
+        fpc = (1 - tp[sel]).cumsum(0)
+        tpc = tp[sel].cumsum(0)
+        recall = tpc / (n_l + eps)
+        precision = tpc / (tpc + fpc)
+        for j in range(tp.shape[1]):
+            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+        # P/R at max-F1 confidence of the 0.5-IoU curve
+        f1 = 2 * precision[:, 0] * recall[:, 0] / (precision[:, 0] + recall[:, 0] + eps)
+        k = int(f1.argmax()) if len(f1) else 0
+        p[ci] = precision[k, 0]
+        r[ci] = recall[k, 0]
+    return {
+        "classes": unique_classes,
+        "ap": ap,  # (nc, 10)
+        "ap50": ap[:, 0],
+        "precision": p,
+        "recall": r,
+    }
+
+
+@dataclass
+class DetMetrics:
+    """Accumulates per-image stats and produces mAP (reference `DetMetrics`)."""
+
+    stats: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = field(
+        default_factory=list
+    )
+
+    def update(
+        self,
+        tp: np.ndarray,
+        conf: np.ndarray,
+        pred_cls: np.ndarray,
+        target_cls: np.ndarray,
+    ) -> None:
+        self.stats.append((tp, conf, pred_cls, target_cls))
+
+    def compute(self) -> Dict[str, float]:
+        if not self.stats:
+            return {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0, "fitness": 0.0}
+        tp = np.concatenate([s[0] for s in self.stats])
+        conf = np.concatenate([s[1] for s in self.stats])
+        pc = np.concatenate([s[2] for s in self.stats])
+        tc = np.concatenate([s[3] for s in self.stats])
+        if len(tc) == 0 or len(conf) == 0:
+            return {"mAP50": 0.0, "mAP50-95": 0.0, "precision": 0.0, "recall": 0.0, "fitness": 0.0}
+        res = ap_per_class(tp, conf, pc, tc)
+        map50 = float(res["ap50"].mean()) if len(res["ap50"]) else 0.0
+        map5095 = float(res["ap"].mean()) if res["ap"].size else 0.0
+        return {
+            "mAP50": map50,
+            "mAP50-95": map5095,
+            "precision": float(res["precision"].mean()),
+            "recall": float(res["recall"].mean()),
+            "fitness": 0.1 * map50 + 0.9 * map5095,
+        }

@@ -1,0 +1,119 @@
+"""Data pipeline tests on a synthetic YOLO-format dataset."""
+
+import numpy as np
+import pytest
+
+from tamtr_tpu.data.augment import (
+    Sample,
+    letterbox,
+    mosaic4,
+    random_flip,
+    random_hsv,
+    random_perspective,
+    stretch_resize,
+)
+from tamtr_tpu.data.dataset import AugConfig, DetectionDataset, build_loader, collate
+from tamtr_tpu.data.text import class_text_embeddings
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("visdrone_synth")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        h, w = int(rng.integers(200, 400)), int(rng.integers(300, 500))
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "images" / f"im{i:03d}.jpg"), img)
+        n = int(rng.integers(0, 6))
+        rows = []
+        for _ in range(n):
+            cx, cy = rng.uniform(0.2, 0.8, 2)
+            bw, bh = rng.uniform(0.05, 0.3, 2)
+            bw = min(bw, 2 * min(cx, 1 - cx))
+            bh = min(bh, 2 * min(cy, 1 - cy))
+            rows.append(f"{int(rng.integers(0, 10))} {cx:.4f} {cy:.4f} {bw:.4f} {bh:.4f}")
+        (root / "labels" / f"im{i:03d}.txt").write_text("\n".join(rows))
+    return root
+
+
+def test_dataset_load(synth_dataset):
+    ds = DetectionDataset(synth_dataset / "images", imgsz=160)
+    assert len(ds) == 12
+    s = ds.get(0)
+    assert s.img.shape == (160, 160, 3)
+    assert (s.boxes >= 0).all() and (s.boxes <= 160).all()
+
+
+def test_dataset_cache(synth_dataset):
+    ds1 = DetectionDataset(synth_dataset / "images", imgsz=160)
+    ds2 = DetectionDataset(synth_dataset / "images", imgsz=160)  # from cache
+    for a, b in zip(ds1.labels, ds2.labels):
+        np.testing.assert_array_equal(a["cls"], b["cls"])
+        np.testing.assert_allclose(a["xywhn"], b["xywhn"])
+
+
+def test_augmented_pipeline(synth_dataset):
+    ds = DetectionDataset(
+        synth_dataset / "images",
+        imgsz=160,
+        augment=True,
+        aug=AugConfig(mosaic=1.0, scale=0.5),
+    )
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        s = ds.get(i, rng)
+        assert s.img.shape == (160, 160, 3)
+        assert len(s.boxes) == len(s.cls)
+        if len(s.boxes):
+            assert (s.boxes[:, 2] >= s.boxes[:, 0]).all()
+
+
+def test_loader_batches(synth_dataset):
+    ds = DetectionDataset(synth_dataset / "images", imgsz=160, augment=True)
+    loader = build_loader(ds, batch_size=4, max_gt=16, workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["img"].shape == (4, 160, 160, 3) and b["img"].dtype == np.uint8
+    assert b["cls"].shape == (4, 16)
+    assert b["bboxes"].shape == (4, 16, 4)
+    assert b["mask"].shape == (4, 16)
+    assert (b["bboxes"][b["mask"]] >= 0).all() and (b["bboxes"][b["mask"]] <= 1).all()
+    # deterministic across epochs with same seed
+    loader2 = build_loader(ds, batch_size=4, max_gt=16, workers=2, seed=0)
+    b2 = next(iter(loader2))
+    np.testing.assert_array_equal(b["img"], b2["img"])
+
+
+def test_loader_host_sharding(synth_dataset):
+    ds = DetectionDataset(synth_dataset / "images", imgsz=160)
+    l0 = build_loader(ds, 2, max_gt=8, shuffle=False, process_index=0, process_count=2)
+    l1 = build_loader(ds, 2, max_gt=8, shuffle=False, process_index=1, process_count=2)
+    assert len(l0) == len(l1) == 3
+
+
+def test_letterbox_and_stretch():
+    img = np.zeros((100, 200, 3), np.uint8)
+    s = Sample(img, np.array([[0, 0, 200, 100]], np.float32), np.array([0]))
+    out, ratio, pad = letterbox(s, 64)
+    assert out.img.shape == (64, 64, 3)
+    st = stretch_resize(s, 64)
+    np.testing.assert_allclose(st.boxes, [[0, 0, 64, 64]], atol=1e-4)
+
+
+def test_text_embeddings_deterministic(tmp_path):
+    names = ["car", "van", "truck"]
+    e1 = class_text_embeddings(names)
+    e2 = class_text_embeddings(names)
+    np.testing.assert_allclose(e1, e2)
+    assert e1.shape == (3, 512)
+    np.testing.assert_allclose(np.linalg.norm(e1, axis=-1), 1.0, atol=1e-5)
+    # npz path takes priority
+    emb = np.eye(3, 512, dtype=np.float32)
+    np.savez(tmp_path / "emb.npz", embeddings=emb)
+    e3 = class_text_embeddings(names, npz_path=tmp_path / "emb.npz")
+    np.testing.assert_allclose(e3[0, 0], 1.0)

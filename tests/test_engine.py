@@ -1,0 +1,60 @@
+"""Engine smoke test: 2 tiny train steps + val on a synthetic dataset (CPU)."""
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("engine_synth")
+    for split in ("train", "val"):
+        (root / split / "images").mkdir(parents=True)
+        (root / split / "labels").mkdir(parents=True)
+        rng = np.random.default_rng(0 if split == "train" else 1)
+        for i in range(4):
+            img = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+            cv2.imwrite(str(root / split / "images" / f"im{i}.jpg"), img)
+            (root / split / "labels" / f"im{i}.txt").write_text(
+                "0 0.5 0.5 0.2 0.2\n1 0.3 0.3 0.1 0.1"
+            )
+    data = {
+        "path": str(root),
+        "train": "train/images",
+        "val": "val/images",
+        "nc": 3,
+        "names": {0: "car", 1: "van", 2: "bus"},
+    }
+    yml = root / "data.yaml"
+    yml.write_text(yaml.safe_dump(data))
+    return yml
+
+
+def test_engine_train_and_val(synth_root):
+    from tamtr_tpu.engine.model import Engine
+
+    eng = Engine("tamtr.yaml")
+    res = eng.train(
+        data=str(synth_root),
+        imgsz=64,
+        epochs=1,
+        batch=2,
+        workers=2,
+        max_gt=8,
+        scan_chunk=32,
+        warmup_epochs=5,
+        project=str(synth_root.parent / "runs"),
+        val=True,
+        save=True,
+        conf=0.01,
+    )
+    assert "mAP50" in res
+    assert np.isfinite(res["mAP50"])
+    # checkpoint exists
+    assert (synth_root.parent / "runs" / "train" / "weights" / "last").exists()
+    # predict on the val images
+    preds = eng.predict(str(synth_root.parent / "val" / "images"), imgsz=64, conf=0.01)
+    assert len(preds) == 4
+    assert all("boxes" in p and "scores" in p for p in preds)
