@@ -33,6 +33,15 @@ class TAMTR:
     def predict(self, source: Any = None, **kwargs: Any):
         return self._lazy_engine().predict(source, **kwargs)
 
+    def export(self, fmt: str = "orbax", **kwargs: Any):
+        """Export weights (orbax / savedmodel via jax2tf / tflite / npz)."""
+        return self._lazy_engine().export(fmt, **kwargs)
+
+    def load(self, weights: str, **kwargs: Any) -> "TAMTR":
+        """Load a trained checkpoint for val/predict."""
+        self._lazy_engine().load(weights, **kwargs)
+        return self
+
     def set_classes(self, classes, embeddings=None):
         """Open-vocabulary retarget: supply class names (+ precomputed text embeddings)."""
         return self._lazy_engine().set_classes(classes, embeddings)

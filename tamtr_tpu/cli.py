@@ -1,0 +1,81 @@
+"""CLI entrypoint: `python -m tamtr_tpu <task> <mode> k=v ...`
+
+Mirrors the reference `yolo` CLI (`cfg/__init__.py:entrypoint`, lines
+313-449): positional task/mode plus `key=value` overrides.
+
+    python -m tamtr_tpu detect train data=visdrone.yaml epochs=300 batch=6
+    python -m tamtr_tpu detect val model=runs/train/exp/weights/best data=visdrone.yaml
+    python -m tamtr_tpu detect predict model=... source=images/
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict, List
+
+TASKS = ("detect",)
+MODES = ("train", "val", "predict")
+
+
+def _parse_value(v: str) -> Any:
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    if v.lower() in ("none", "null"):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
+def parse_args(argv: List[str]):
+    task, mode = "detect", None
+    overrides: Dict[str, Any] = {}
+    for a in argv:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            overrides[k] = _parse_value(v)
+        elif a in TASKS:
+            task = a
+        elif a in MODES:
+            mode = a
+        elif a in ("-h", "--help", "help"):
+            print(__doc__)
+            raise SystemExit(0)
+        elif a == "version":
+            from tamtr_tpu import __version__
+
+            print(__version__)
+            raise SystemExit(0)
+        else:
+            close = [m for m in MODES + TASKS if a in m]
+            raise SystemExit(f"unknown argument {a!r}" + (f" (did you mean {close[0]!r}?)" if close else ""))
+    if mode is None:
+        raise SystemExit(f"specify a mode: {MODES}")
+    return task, mode, overrides
+
+
+def main(argv: List[str] | None = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    task, mode, ov = parse_args(argv)
+    from tamtr_tpu import TAMTR
+
+    model_arg = ov.pop("model", "tamtr.yaml")
+    model = TAMTR(model_arg if str(model_arg).endswith(".yaml") else "tamtr.yaml")
+    if not str(model_arg).endswith(".yaml"):
+        model.load(str(model_arg))
+    if mode == "train":
+        print(model.train(**ov))
+    elif mode == "val":
+        print(model.val(**ov))
+    elif mode == "predict":
+        source = ov.pop("source", None)
+        results = model.predict(source, **ov)
+        for r in results:
+            print(f"{r['path']}: {len(r['scores'])} detections")
+
+
+if __name__ == "__main__":
+    main()

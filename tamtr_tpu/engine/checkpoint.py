@@ -44,3 +44,31 @@ def load_checkpoint(path: str | Path, target) -> Tuple[Any, Dict[str, Any]]:
 def strip_for_inference(state) -> Dict[str, Any]:
     """EMA weights only (the reference's `strip_optimizer`)."""
     return {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
+
+
+class InferenceState:
+    """Duck-typed TrainState carrying only the weights needed for eval."""
+
+    def __init__(self, params, batch_stats, ema_params=None, ema_batch_stats=None):
+        self.params = params
+        self.batch_stats = batch_stats
+        self.ema_params = ema_params if ema_params is not None else params
+        self.ema_batch_stats = (
+            ema_batch_stats if ema_batch_stats is not None else batch_stats
+        )
+
+
+def load_checkpoint_raw(path: str | Path) -> Tuple[InferenceState, Dict[str, Any]]:
+    """Restore a checkpoint without a target template (raw pytree)."""
+    path = Path(path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(path)
+    state = InferenceState(
+        params=raw.get("params"),
+        batch_stats=raw.get("batch_stats"),
+        ema_params=raw.get("ema_params"),
+        ema_batch_stats=raw.get("ema_batch_stats"),
+    )
+    meta_path = path.parent / (path.name + ".meta.json")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return state, meta

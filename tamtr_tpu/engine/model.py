@@ -16,6 +16,10 @@ from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+
+from tamtr_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
 import numpy as np
 
 from tamtr_tpu.config import Config, get_cfg, load_data_yaml
@@ -48,12 +52,15 @@ class EarlyStopping:
 
 class Engine:
     def __init__(self, model_cfg: str = "tamtr.yaml") -> None:
+        from tamtr_tpu.utils.callbacks import Callbacks
+
         self.model_cfg = model_cfg
         self.model: Optional[TAMTRModel] = None
         self.state = None
         self.names: List[str] = []
         self.txt_feats: Optional[np.ndarray] = None
         self.cfg: Optional[Config] = None
+        self.callbacks = Callbacks()
 
     # ------------------------------------------------------------------ train
     def train(self, **overrides: Any) -> Dict[str, float]:
@@ -117,6 +124,13 @@ class Engine:
         run_dir = Path(cfg.project or "runs/detect") / (cfg.name or "train")
         run_dir.mkdir(parents=True, exist_ok=True)
         csv_path = run_dir / "results.csv"
+        start_epoch = 0
+        if cfg.resume and (run_dir / "weights" / "last").exists():
+            from tamtr_tpu.engine.checkpoint import load_checkpoint
+
+            state, meta = load_checkpoint(run_dir / "weights" / "last", state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            LOGGER.info(f"resumed from epoch {start_epoch}")
         stopper = EarlyStopping(cfg.patience)
         txt = np.tile(self.txt_feats[None], (cfg.batch, 1, 1)).astype(np.float32)
         best_fitness = 0.0
@@ -126,8 +140,10 @@ class Engine:
             f"training {self.model_cfg}: nc={nc} imgsz={cfg.imgsz} batch={cfg.batch} "
             f"devices={n_dev} steps/epoch={steps_per_epoch}"
         )
+        self.callbacks.fire("on_train_start", self)
         metrics_out: Dict[str, float] = {}
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
+            self.callbacks.fire("on_train_epoch_start", self, epoch)
             if cfg.close_mosaic and epoch == cfg.epochs - cfg.close_mosaic:
                 train_ds.close_mosaic()
             loader.set_epoch(epoch)
@@ -172,16 +188,48 @@ class Engine:
                 if jax.process_index() == 0 and cfg.save:
                     from tamtr_tpu.engine.checkpoint import save_checkpoint
 
-                    save_checkpoint(run_dir / "weights" / "last", state, {"epoch": epoch})
+                    meta = {
+                        "epoch": epoch,
+                        "nc": nc,
+                        "names": self.names,
+                        "model_cfg": str(self.model_cfg),
+                        "imgsz": cfg.imgsz,
+                        "max_gt": cfg.max_gt,
+                    }
+                    save_checkpoint(run_dir / "weights" / "last", state, meta)
                     if fitness >= best_fitness:
                         best_fitness = fitness
-                        save_checkpoint(run_dir / "weights" / "best", state, {"epoch": epoch})
+                        save_checkpoint(run_dir / "weights" / "best", state, meta)
                 if stopper(epoch, fitness):
                     LOGGER.info(f"early stopping at epoch {epoch + 1}")
+                    self._append_csv(csv_path, row)
                     break
             self._append_csv(csv_path, row)
+            self.callbacks.fire("on_fit_epoch_end", self, epoch, row)
         self.state = state
+        if cfg.plots and jax.process_index() == 0:
+            try:
+                from tamtr_tpu.utils.plotting import plot_results
+
+                plot_results(csv_path)
+            except Exception:
+                pass
+        self.callbacks.fire("on_train_end", self)
+        self.callbacks.fire("teardown", self)
         return metrics_out
+
+    def export(self, fmt: str = "orbax", out_dir: str = "runs/export", imgsz: int = 640):
+        """Export trained (EMA) weights (reference `Exporter`)."""
+        from tamtr_tpu.engine.exporter import export_model
+
+        assert self.model is not None and self.state is not None
+        variables = {
+            "params": self.state.ema_params,
+            "batch_stats": self.state.ema_batch_stats,
+        }
+        return export_model(
+            self.model, variables, imgsz, len(self.names) or self.model.nc, out_dir, fmt
+        )
 
     # -------------------------------------------------------------------- val
     def val(self, **overrides: Any) -> Dict[str, float]:
@@ -216,6 +264,7 @@ class Engine:
         bs = max(cfg.batch, 1)
         txt_all = jnp.asarray(self.txt_feats[None])
         n = len(ds)
+        coco_records = [] if cfg.save_json else None
         t0 = time.time()
         for start in range(0, n, bs):
             idxs = list(range(start, min(start + bs, n)))
@@ -242,6 +291,21 @@ class Engine:
                 ps = scores[k][sel]
                 tp = match_predictions(pb, pc, r.boxes, r.cls.astype(np.float32))
                 metrics.update(tp, ps, pc, r.cls.astype(np.float32))
+                if coco_records is not None:
+                    coco_records.append(
+                        {
+                            "image_id": int(Path(ds.im_files[i]).stem)
+                            if Path(ds.im_files[i]).stem.isnumeric()
+                            else i,
+                            "boxes": pb,
+                            "scores": ps,
+                            "labels": labels[k][sel],
+                        }
+                    )
+        if coco_records is not None:
+            from tamtr_tpu.utils.coco import predictions_to_coco
+
+            predictions_to_coco(coco_records, Path(cfg.project or "runs") / "predictions.json")
         res = metrics.compute()
         res["images_per_sec"] = n / max(time.time() - t0, 1e-9)
         LOGGER.info(
@@ -294,6 +358,24 @@ class Engine:
                 }
             )
         return results
+
+    def load(self, ckpt_path: str, nc: Optional[int] = None, names: Optional[List[str]] = None) -> "Engine":
+        """Load weights from an orbax checkpoint (metadata supplies nc/names)."""
+        from tamtr_tpu.engine.checkpoint import load_checkpoint_raw
+
+        state, meta = load_checkpoint_raw(ckpt_path)
+        self.state = state
+        nc = nc or meta.get("nc")
+        assert nc, "checkpoint has no nc metadata; pass nc=..."
+        self.names = names or meta.get("names") or [str(i) for i in range(nc)]
+        if self.txt_feats is None:
+            self.txt_feats = class_text_embeddings(self.names)
+        if meta.get("model_cfg"):
+            self.model_cfg = meta["model_cfg"]
+        self.model = TAMTRModel.from_yaml(
+            self.model_cfg, nc=nc, max_gt=meta.get("max_gt", 128)
+        )
+        return self
 
     def set_classes(self, classes: List[str], embeddings: Optional[np.ndarray] = None) -> None:
         """Open-vocabulary retarget (reference `RTDETRWorld.set_classes`)."""

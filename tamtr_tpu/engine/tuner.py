@@ -1,0 +1,76 @@
+"""Mutation-based hyperparameter evolution (the reference `engine/tuner.py`).
+
+Same strategy as the reference Tuner: per iteration, mutate the best-so-far
+hyperparameters with per-key gains/bounds, run a short training, keep the
+fitness-ranked history in tune_results.csv. Runs in-process (the reference
+spawns subprocesses; a jit'd train loop makes that unnecessary).
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+# key: (mutation gain, min, max) — mirrors the reference search space
+SPACE: Dict[str, Tuple[float, float, float]] = {
+    "lr0": (1.0, 1e-5, 1e-1),
+    "lrf": (1.0, 0.01, 1.0),
+    "momentum": (0.3, 0.7, 0.98),
+    "weight_decay": (1.0, 0.0, 0.001),
+    "warmup_epochs": (1.0, 0.0, 5000.0),
+    "warmup_bias_lr": (1.0, 0.0, 0.2),
+    "hsv_h": (1.0, 0.0, 0.1),
+    "hsv_s": (1.0, 0.0, 0.9),
+    "hsv_v": (1.0, 0.0, 0.9),
+    "translate": (1.0, 0.0, 0.9),
+    "scale": (1.0, 0.0, 0.95),
+    "fliplr": (0.5, 0.0, 1.0),
+    "mosaic": (1.0, 0.0, 1.0),
+    "mixup": (1.0, 0.0, 1.0),
+}
+
+
+class Tuner:
+    def __init__(self, save_dir: str | Path = "runs/tune", seed: int = 0):
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.csv = self.save_dir / "tune_results.csv"
+        self.rng = np.random.default_rng(seed)
+
+    def _mutate(self, base: Dict[str, float], sigma: float = 0.2) -> Dict[str, float]:
+        out = dict(base)
+        # mutate a random subset with gaussian factors (reference: v = g * randn * sigma + 1)
+        keys = list(SPACE)
+        n_mut = max(1, int(len(keys) * 0.5))
+        for k in self.rng.choice(keys, n_mut, replace=False):
+            g, lo, hi = SPACE[k]
+            factor = float(np.clip(self.rng.normal(1.0, g * sigma), 0.3, 3.0))
+            out[k] = float(np.clip(base.get(k, (lo + hi) / 2) * factor, lo, hi))
+        return out
+
+    def __call__(
+        self,
+        train_fn: Callable[[Dict[str, float]], Dict[str, float]],
+        base_hyp: Optional[Dict[str, float]] = None,
+        iterations: int = 10,
+    ) -> Dict[str, float]:
+        """train_fn(hyp) -> metrics dict with 'fitness'. Returns best hyp."""
+        base = dict(base_hyp or {k: (lo + hi) / 2 for k, (g, lo, hi) in SPACE.items()})
+        best_hyp, best_fit = base, -1.0
+        for it in range(iterations):
+            hyp = self._mutate(best_hyp) if it > 0 else base
+            metrics = train_fn(hyp)
+            fit = float(metrics.get("fitness", 0.0))
+            row = {"iteration": it, "fitness": fit, **hyp}
+            new = not self.csv.exists()
+            with open(self.csv, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(row))
+                if new:
+                    w.writeheader()
+                w.writerow(row)
+            if fit > best_fit:
+                best_fit, best_hyp = fit, hyp
+        return best_hyp

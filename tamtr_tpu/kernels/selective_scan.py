@@ -57,37 +57,31 @@ def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, y_ref, hlast_ref, h_ref, *,
     Cc = C_ref[0]  # (S, N)
     S = u.shape[0]
 
-    if reverse:
-        # reverse-time scan: process positions S-1..0 by flipping inputs
-        u = u[::-1]
-        dt = dt[::-1]
-        Bc = Bc[::-1]
-        Cc = Cc[::-1]
-
     a = jnp.exp(dt[:, None, :] * A[None])  # (S, N, D)
     b = (dt * u)[:, None, :] * Bc[:, :, None]  # (S, N, D)
 
-    # Hillis–Steele inclusive scan along S (prev ∘ cur composition)
+    # Hillis–Steele scan along S; reverse mode runs a suffix scan (mirrored
+    # combine) instead of flipping data — Mosaic has no `rev` lowering.
     pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0)
     k = 1
     while k < S:
-        a_prev = pltpu.roll(a, k, axis=0)
-        b_prev = pltpu.roll(b, k, axis=0)
-        valid = pos >= k
-        a_prev = jnp.where(valid, a_prev, 1.0)
-        b_prev = jnp.where(valid, b_prev, 0.0)
-        b = b + a * b_prev
-        a = a * a_prev
+        shift = (S - k) if reverse else k  # roll is circular; S-k == -k
+        a_n = pltpu.roll(a, shift, axis=0)
+        b_n = pltpu.roll(b, shift, axis=0)
+        valid = (pos < S - k) if reverse else (pos >= k)
+        a_n = jnp.where(valid, a_n, 1.0)
+        b_n = jnp.where(valid, b_n, 0.0)
+        b = b + a * b_n
+        a = a * a_n
         k *= 2
 
     h_in = h_ref[...]  # (N, D)
     h_all = a * h_in[None] + b  # (S, N, D)
     y = jnp.sum(h_all * Cc[:, :, None], axis=1)  # (S, D)
-    if reverse:
-        y = y[::-1]
     y_ref[0] = y
     # static slice (x[-1] lowers to unsupported dynamic_slice on TPU)
-    h_last = h_all[S - 1 : S].reshape(h_in.shape)
+    edge = 0 if reverse else S - 1
+    h_last = h_all[edge : edge + 1].reshape(h_in.shape)
     h_ref[...] = h_last
 
     @pl.when(s_idx == n_s - 1)
@@ -189,3 +183,237 @@ def _bwd(chunk, res, dy):
 
 
 selective_scan_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused SS2D scan: dt-projection + softplus + D-skip inside the kernel,
+# flip directions realized as reverse-mode scans (no flipped copies in HBM).
+# ---------------------------------------------------------------------------
+
+
+def _hs_scan(a, b, axis: int, reverse: bool):
+    """In-kernel Hillis-Steele inclusive pair scan along `axis`.
+
+    Forward computes prefix compositions (h_t = a_t h_{t-1} + b_t solved from
+    zero state); reverse computes suffix compositions. Identity padding is
+    (a=1, b=0).
+    """
+    S = a.shape[axis]
+    pos_shape = [1] * a.ndim
+    pos_shape[axis] = S
+    pos = jax.lax.broadcasted_iota(jnp.int32, tuple(pos_shape), axis)
+    k = 1
+    while k < S:
+        shift = (S - k) if reverse else k  # circular roll; S-k == -k
+        a_n = pltpu.roll(a, shift, axis=axis)
+        b_n = pltpu.roll(b, shift, axis=axis)
+        valid = (pos < S - k) if reverse else (pos >= k)
+        a_n = jnp.where(valid, a_n, 1.0)
+        b_n = jnp.where(valid, b_n, 0.0)
+        b = b + a * b_n
+        a = a * a_n
+        k *= 2
+    return a, b
+
+
+def _chunk_scan_two_level(a, b, reverse: bool, T: int = 16):
+    """Two-level scan of an (S, N, D) chunk: Hillis-Steele within T-wide
+    sub-chunks (log2(T) rounds over the full tensor) + a scan over the S/T
+    sub-chunk summaries (log2(S/T) rounds over a 1/T-size tensor). ~2x less
+    arithmetic than a single log2(S)-round scan over the full tensor.
+
+    Returns (A_full, B_full): the inclusive prefix (or suffix) composition at
+    every position, i.e. h_t for zero initial state with a_t factors exposed
+    so a carry can be applied as h = A_full * h_in + B_full.
+    """
+    S, N, D = a.shape
+    if S <= T:
+        return _hs_scan(a, b, 0, reverse)
+    assert S % T == 0
+    R = S // T
+    a4 = a.reshape(R, T, N, D)
+    b4 = b.reshape(R, T, N, D)
+    A_in, B_in = _hs_scan(a4, b4, 1, reverse)  # within sub-chunks
+    edge = 0 if reverse else T - 1
+    a_s = A_in[:, edge]  # (R, N, D) sub-chunk summaries
+    b_s = B_in[:, edge]
+    A_out, B_out = _hs_scan(a_s, b_s, 0, reverse)  # across sub-chunks (inclusive)
+    # exclusive versions: composition of sub-chunks strictly before (after) r
+    shift = 1 if not reverse else R - 1
+    E_a = pltpu.roll(A_out, shift, axis=0)
+    E_b = pltpu.roll(B_out, shift, axis=0)
+    rpos = jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0)
+    first = (rpos == 0) if not reverse else (rpos == R - 1)
+    E_a = jnp.where(first, 1.0, E_a)
+    E_b = jnp.where(first, 0.0, E_b)
+    # compose: F = In ∘ E  =>  F_a = A_in*E_a, F_b = A_in*E_b + B_in
+    A_full = A_in * E_a[:, None]
+    B_full = A_in * E_b[:, None] + B_in
+    return A_full.reshape(S, N, D), B_full.reshape(S, N, D)
+
+
+def _ss2d_kernel(
+    u_ref, dtr_ref, dtw_ref, dtb_ref, A_ref, B_ref, C_ref, D_ref, y_ref, h_ref,
+    *, reverse: bool
+):
+    """Refs: u (1,S,Dblk); dt_raw (1,S,R); dt_w (1,R,Dblk); dt_bias (1,1,Dblk);
+    A (1,N,Dblk); B, C (1,S,N); Dskip (1,1,Dblk); y (1,S,Dblk); h scratch (N,Dblk)."""
+    s_idx = pl.program_id(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    u = u_ref[0]  # (S, Dblk)
+    # dt projection on the MXU + softplus (reference does this as a separate
+    # einsum materializing (B, K, L, D) in HBM)
+    dt = jnp.dot(dtr_ref[0], dtw_ref[0], preferred_element_type=jnp.float32)
+    dt = jax.nn.softplus(dt + dtb_ref[0])  # (S, Dblk)
+    A = A_ref[0]  # (N, Dblk)
+    Bc = B_ref[0]  # (S, N)
+    Cc = C_ref[0]  # (S, N)
+    S = u.shape[0]
+
+    a = jnp.exp(dt[:, None, :] * A[None])  # (S, N, Dblk)
+    b = (dt * u)[:, None, :] * Bc[:, :, None]
+
+    # Two-level scan. Forward: prefix scan (h_t = a_t h_{t-1} + b_t).
+    # Reverse direction: *suffix* scan (H_t = a_t H_{t+1} + b_t) — a mirrored
+    # combine instead of flipping the data (Mosaic has no `rev` lowering,
+    # and this also saves the flip traffic).
+    a, b = _chunk_scan_two_level(a, b, reverse)
+
+    h_in = h_ref[...]
+    h_all = a * h_in[None] + b
+    y = jnp.sum(h_all * Cc[:, :, None], axis=1)  # (S, Dblk)
+    y_ref[0] = y + u * D_ref[0]
+    edge = 0 if reverse else S - 1
+    h_ref[...] = h_all[edge : edge + 1].reshape(h_in.shape)
+
+
+def _run_ss2d_scan(u, dt_raw, dt_w, dt_b, A_t, Bs, Cs, Dskip, chunk, reverse):
+    """u (G,L,D); dt_raw (G,L,R); dt_w (G,R,D); dt_b (G,1,D); A_t (G,N,D);
+    Bs, Cs (G,L,N); Dskip (G,1,D) -> y (G,L,D)."""
+    G, L, D = u.shape
+    R = dt_raw.shape[-1]
+    N = A_t.shape[1]
+    S = min(chunk, L)
+    pad = (-L) % S
+    if pad:
+        cfg = ((0, 0), (0, pad) if not reverse else (pad, 0), (0, 0))
+        u = jnp.pad(u, cfg)
+        dt_raw = jnp.pad(dt_raw, cfg)
+        Bs = jnp.pad(Bs, cfg)
+        Cs = jnp.pad(Cs, cfg)
+    Lp = L + pad
+    nS = Lp // S
+    Dblk = min(D, 128)
+    assert D % Dblk == 0
+    nD = D // Dblk
+
+    def sidx(g, d, s):
+        return (g, (nS - 1 - s) if reverse else s, d)
+
+    def ridx(g, d, s):
+        return (g, (nS - 1 - s) if reverse else s, 0)
+
+    def didx(g, d, s):
+        return (g, 0, d)
+
+    y = pl.pallas_call(
+        functools.partial(_ss2d_kernel, reverse=reverse),
+        grid=(G, nD, nS),
+        in_specs=[
+            pl.BlockSpec((1, S, Dblk), sidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, R), ridx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, Dblk), didx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Dblk), didx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dblk), didx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, N), ridx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, N), ridx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Dblk), didx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, Dblk), sidx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, Lp, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N, Dblk), jnp.float32)],
+        interpret=_interpret(),
+    )(u, dt_raw, dt_w, dt_b, A_t, Bs, Cs, Dskip)
+    if pad:
+        y = y[:, :L] if not reverse else y[:, pad:]
+    return y
+
+
+def ss2d_scan_xla(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk=128):
+    """XLA oracle for the fused 4-direction scan.
+
+    layouts: (B, 2, L, D) [row-major, col-major]; dts_raw: (B, 2, 2, L, R)
+    [fwd/rev, layout]; dt_w: (K, D, R); dt_b: (K, D); A: (K, D, N);
+    Bs, Cs: (B, 2, 2, L, N); Ds: (K, D). Direction order k = (row-fwd,
+    col-fwd, row-rev, col-rev) matching the reference CrossScan.
+    Returns y: (B, 4, L, D) per-direction outputs in natural (unflipped) order.
+    """
+    from tamtr_tpu.nn.ssm import selective_scan_xla
+
+    B, _, L, D = layouts.shape
+    N = A.shape[-1]
+    ys = []
+    for k in range(4):
+        rev = k >= 2
+        lay = layouts[:, k % 2]
+        dtr = dts_raw[:, k // 2, k % 2]
+        dt = jax.nn.softplus(jnp.einsum("bl r, d r -> b l d", dtr, dt_w[k]) + dt_b[k])
+        u = lay
+        Bk = Bs[:, k // 2, k % 2]
+        Ck = Cs[:, k // 2, k % 2]
+        if rev:
+            u, dt, Bk, Ck = u[:, ::-1], dt[:, ::-1], Bk[:, ::-1], Ck[:, ::-1]
+        Ak = jnp.broadcast_to(A[k][None], (B, D, N))
+        y = selective_scan_xla(u, dt, Ak, Bk, Ck, None, chunk=chunk)
+        if rev:
+            y = y[:, ::-1]
+        y = y + lay * Ds[k][None, None, :]
+        ys.append(y)
+    return jnp.stack(ys, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def ss2d_scan(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk: int = DEFAULT_CHUNK):
+    """Fused Pallas 4-direction scan; same contract as `ss2d_scan_xla`."""
+    B, _, L, D = layouts.shape
+    N = A.shape[-1]
+    R = dt_w.shape[-1]
+
+    def prep(ks):
+        """Stack two directions (one per layout) into G = 2B sequences."""
+        u = layouts.transpose(1, 0, 2, 3).reshape(2 * B, L, D)
+        f = ks[0] // 2
+        dtr = dts_raw[:, f].transpose(1, 0, 2, 3).reshape(2 * B, L, R)
+        Bk = Bs[:, f].transpose(1, 0, 2, 3).reshape(2 * B, L, N)
+        Ck = Cs[:, f].transpose(1, 0, 2, 3).reshape(2 * B, L, N)
+        sel = jnp.asarray(ks)
+        dtw = jnp.repeat(dt_w[sel].transpose(0, 2, 1), B, axis=0)  # (2B, R, D)
+        dtb = jnp.repeat(dt_b[sel][:, None, :], B, axis=0)  # (2B, 1, D)
+        At = jnp.repeat(A[sel].transpose(0, 2, 1), B, axis=0)  # (2B, N, D)
+        Dk = jnp.repeat(Ds[sel][:, None, :], B, axis=0)  # (2B, 1, D)
+        return u, dtr, dtw, dtb, At, Bk, Ck, Dk
+
+    y_fwd = _run_ss2d_scan(*prep((0, 1)), chunk, reverse=False)
+    y_rev = _run_ss2d_scan(*prep((2, 3)), chunk, reverse=True)
+    y_fwd = y_fwd.reshape(2, B, L, D).transpose(1, 0, 2, 3)
+    y_rev = y_rev.reshape(2, B, L, D).transpose(1, 0, 2, 3)
+    # natural-order per-direction outputs (row-fwd, col-fwd, row-rev, col-rev)
+    return jnp.stack([y_fwd[:, 0], y_fwd[:, 1], y_rev[:, 0], y_rev[:, 1]], 1)
+
+
+def _ss2d_fwd(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk):
+    y = ss2d_scan(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk)
+    return y, (layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds)
+
+
+def _ss2d_bwd(chunk, res, dy):
+    args = res
+    _, vjp = jax.vjp(lambda *a: ss2d_scan_xla(*a, chunk=min(chunk, 128)), *args)
+    return vjp(dy)
+
+
+ss2d_scan.defvjp(_ss2d_fwd, _ss2d_bwd)

@@ -65,9 +65,10 @@ def ms_deform_attn_core(
     out = jnp.zeros((B, Q, nh, c), dtype=value.dtype)
     for lvl, (H, W) in enumerate(shapes):
         v = jax.lax.dynamic_slice_in_dim(value, int(starts[lvl]), H * W, axis=1)
-        loc = sampling_locations[:, :, :, lvl]  # (B, Q, nh, P, 2)
-        w_att = attention_weights[:, :, :, lvl]  # (B, Q, nh, P)
+        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # (B, Q, nh, P, 2)
+        w_att = attention_weights[:, :, :, lvl].astype(jnp.float32)  # (B, Q, nh, P)
         # grid_sample align_corners=False pixel mapping: p = loc * size - 0.5
+        # (coordinates in fp32: bf16 would quantize sampling positions)
         x = loc[..., 0] * W - 0.5
         y = loc[..., 1] * H - 0.5
         x0 = jnp.floor(x)
@@ -92,7 +93,9 @@ def ms_deform_attn_core(
         gathered = jnp.take_along_axis(v, idx_flat[..., None], axis=1)  # (B, Q*P*4, nh, c)
         gathered = gathered.reshape(B, Q, P, 4, nh, c)
         w_lvl = (w_all * w_att[..., None]).transpose(0, 1, 3, 4, 2)  # (B,Q,P,4,nh)
-        out = out + jnp.einsum("bqpknc,bqpkn->bqnc", gathered, w_lvl)
+        out = out + jnp.einsum(
+            "bqpknc,bqpkn->bqnc", gathered, w_lvl.astype(gathered.dtype)
+        )
     return out.reshape(B, Q, nh * c)
 
 
@@ -192,6 +195,8 @@ class ContrastiveHead(nn.Module):
         logit_scale = self.param(
             "logit_scale", lambda k, s: jnp.full(s, math.log(1 / 0.07)), ()
         )
+        x = x.astype(jnp.float32)  # score logits in fp32 regardless of compute dtype
+        w = w.astype(jnp.float32)
         xn = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
         wn = w / jnp.clip(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12, None)
         sim = jnp.einsum("bqc,bkc->bqk", xn, wn)
@@ -209,6 +214,7 @@ class DeformableDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, embed, refer_bbox, feats, shapes, attn_mask, query_pos):
+        query_pos = query_pos.astype(embed.dtype)
         q = k = embed + query_pos
         tgt = MultiHeadSelfAttention(self.n_heads, name="self_attn")(q, k, embed, attn_mask)
         embed = nn.LayerNorm(name="norm1")(embed + tgt)
@@ -341,6 +347,8 @@ class ManbaWorldDecoder(nn.Module):
     eval_idx: int = -1
     vss_drop_path: float = 0.1
     scan_chunk: int = 128
+    # text-contrastive score heads (TAM-TR) vs plain Linear heads (RT-DETR)
+    use_text: bool = True
 
     @property
     def dn_groups(self) -> int:
@@ -442,7 +450,9 @@ class ManbaWorldDecoder(nn.Module):
             jnp.broadcast_to(anchors, (B,) + anchors.shape[1:]), topk_ind[..., None], axis=1
         )
 
-        enc_bbox_delta = MLP(self.hd, 4, 3, last_zero=True, name="enc_bbox_head")(top_feats)
+        enc_bbox_delta = MLP(self.hd, 4, 3, last_zero=True, name="enc_bbox_head")(
+            top_feats.astype(jnp.float32)  # box regression in fp32
+        )
         refer_logit = enc_bbox_delta + top_anchors
         enc_bboxes = jax.nn.sigmoid(refer_logit)
         enc_scores = jnp.take_along_axis(enc_scores_all, topk_ind[..., None], axis=1)
@@ -464,27 +474,36 @@ class ManbaWorldDecoder(nn.Module):
         eval_idx = self.eval_idx if self.eval_idx >= 0 else self.ndl + self.eval_idx
         query_pos_head = MLP(2 * self.hd, self.hd, 2, last_zero=False, name="query_pos_head")
 
+        def score_head(i, output):
+            if self.use_text:
+                return ContrastiveHead(name=f"dec_score_head{i}")(output, text)
+            return nn.Dense(self.nc, name=f"dec_score_head{i}")(
+                output.astype(jnp.float32)
+            )
+
         for i in range(self.ndl):
             pos = query_pos_head(refer)
             output = DeformableDecoderLayer(
                 self.hd, self.nh, self.d_ffn, nl, self.ndp, name=f"layer{i}"
             )(output, refer, flat, shapes, attn_mask, pos)
-            bbox_delta = MLP(self.hd, 4, 3, last_zero=True, name=f"dec_bbox_head{i}")(output)
+            bbox_delta = MLP(self.hd, 4, 3, last_zero=True, name=f"dec_bbox_head{i}")(
+                output.astype(jnp.float32)
+            )
             refined = jax.nn.sigmoid(bbox_delta + inverse_sigmoid(refer))
             if train:
-                dec_scores.append(ContrastiveHead(name=f"dec_score_head{i}")(output, text))
+                dec_scores.append(score_head(i, output))
                 if i == 0:
                     dec_bboxes.append(refined)
                 else:
                     dec_bboxes.append(jax.nn.sigmoid(bbox_delta + inverse_sigmoid(last_refined)))
             elif i == eval_idx:
-                dec_scores.append(ContrastiveHead(name=f"dec_score_head{i}")(output, text))
+                dec_scores.append(score_head(i, output))
                 dec_bboxes.append(refined)
                 break
             else:
                 # keep params registered for non-eval layers during init
                 if self.is_initializing():
-                    _ = ContrastiveHead(name=f"dec_score_head{i}")(output, text)
+                    _ = score_head(i, output)
             last_refined = refined
             refer = jax.lax.stop_gradient(refined) if train else refined
 
@@ -492,7 +511,9 @@ class ManbaWorldDecoder(nn.Module):
         dec_scores_s = jnp.stack(dec_scores)
 
         if not train:
-            y = jnp.concatenate([dec_bboxes_s[-1], jax.nn.sigmoid(dec_scores_s[-1])], axis=-1)
+            y = jnp.concatenate(
+                [dec_bboxes_s[-1], jax.nn.sigmoid(dec_scores_s[-1])], axis=-1
+            ).astype(jnp.float32)
             return {"pred": y, "enc_scores": enc_scores, "enc_bboxes": enc_bboxes}
 
         return {

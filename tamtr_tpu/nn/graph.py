@@ -141,6 +141,10 @@ class TAMTRModel(nn.Module):
     max_gt: int = 128
     scan_chunk: int = 128
     wire_text_attn: bool = False
+    # compute dtype for convs/attention; BN stats, the selective scan, and
+    # the loss stay fp32 (the reference trains amp=False — bf16 here is a
+    # TPU-native speed option, off by default)
+    dtype: Any = jnp.float32
 
     @classmethod
     def from_yaml(cls, path: str | Path, nc: Optional[int] = None, **kw) -> "TAMTRModel":
@@ -160,7 +164,8 @@ class TAMTRModel(nn.Module):
             txt_feats = jnp.broadcast_to(
                 txt_feats, (img.shape[0],) + txt_feats.shape[1:]
             )
-        x = img
+        x = img.astype(self.dtype)
+        txt_feats = txt_feats.astype(self.dtype)
         y: List[Optional[jnp.ndarray]] = []
         for idx, f, m, args in self.specs:
             if isinstance(f, tuple):
@@ -177,7 +182,8 @@ class TAMTRModel(nn.Module):
             y.append(x if idx in self.save else None)
 
         feats = [y[j] for j in self.head_from]
-        nc_h, hd, nq, ndp, nh, ndl = self.head_args
+        nc_h, hd, nq, ndp, nh, ndl = self.head_args[:6]
+        use_text = bool(self.head_args[6]) if len(self.head_args) > 6 else True
         head = ManbaWorldDecoder(
             nc=self.nc,
             ch=tuple(f.shape[-1] for f in feats),
@@ -188,6 +194,7 @@ class TAMTRModel(nn.Module):
             ndl=ndl,
             max_gt=self.max_gt,
             scan_chunk=self.scan_chunk,
+            use_text=use_text,
             name="head",
         )
         return head(feats, txt_feats, targets, train)

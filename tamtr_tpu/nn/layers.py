@@ -63,9 +63,11 @@ class ConvBN(nn.Module):
             use_bias=False,
             dtype=x.dtype,
         )(x)
+        dt = x.dtype
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=jnp.float32
         )(x)
+        x = x.astype(dt)  # BN statistics in fp32, activations stay in compute dtype
         return nn.silu(x) if self.act else x
 
 

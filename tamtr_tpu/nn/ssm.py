@@ -139,6 +139,23 @@ def selective_scan(u, delta, A, Bs, Cs, D, chunk: int = SCAN_CHUNK) -> jnp.ndarr
     return selective_scan_xla(u, delta, A, Bs, Cs, D, chunk=chunk)
 
 
+def selective_scan_4dir(
+    layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk: int = SCAN_CHUNK
+) -> jnp.ndarray:
+    """Fused 4-direction SS2D scan (dt-projection + softplus + D-skip inside).
+
+    See `tamtr_tpu.kernels.selective_scan.ss2d_scan_xla` for the contract.
+    """
+    impl = _SCAN_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from tamtr_tpu.kernels.selective_scan import ss2d_scan, ss2d_scan_xla
+
+    if impl == "pallas":
+        return ss2d_scan(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, max(chunk, 256))
+    return ss2d_scan_xla(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk=chunk)
+
+
 def cross_scan(x: jnp.ndarray) -> jnp.ndarray:
     """4-direction unfold of (B, H, W, D) -> (B, 4, L, D).
 
@@ -232,27 +249,35 @@ class SS2D(nn.Module):
         A_logs = self.param("A_logs", alog_init, (K, d_inner, N))
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
 
-        # ---- cross scan + projections ----
-        xs = cross_scan(xm)  # (B, K, L, d_inner)
-        x_dbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w)
-        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
-        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w)
-
-        # ---- fp32 scan (force_fp32 like reference v2) ----
+        # ---- flip-free layout + projections (fp32 scan, reference force_fp32) ----
+        # Direction k: 0 = row fwd, 1 = col fwd, 2 = row rev, 3 = col rev
+        # (reference CrossScan order). Reversed directions never materialize
+        # flipped copies: the scan kernel runs them in reverse time.
         f32 = jnp.float32
-        u = xs.astype(f32).reshape(B * K, L, d_inner)
-        delta = jax.nn.softplus(dts.astype(f32) + dt_b.astype(f32)[None, :, None, :]).reshape(
-            B * K, L, d_inner
-        )
-        A = -jnp.exp(A_logs.astype(f32))  # (K, d_inner, N)
-        A = jnp.broadcast_to(A[None], (B, K, d_inner, N)).reshape(B * K, d_inner, N)
-        Bs_ = Bs.astype(f32).reshape(B * K, L, N)
-        Cs_ = Cs.astype(f32).reshape(B * K, L, N)
-        D_ = jnp.broadcast_to(Ds.astype(f32)[None], (B, K, d_inner)).reshape(B * K, d_inner)
+        x_row = xm.reshape(B, L, d_inner)
+        x_col = xm.transpose(0, 2, 1, 3).reshape(B, L, d_inner)
+        layouts = jnp.stack([x_row, x_col], 1).astype(f32)  # (B, 2, L, d_inner)
+        Wp = x_proj_w.astype(f32).reshape(2, 2, R + 2 * N, d_inner)  # [f][layout]
+        x_dbl = jnp.einsum("bjld,fjcd->bfjlc", layouts, Wp)  # (B,2,2,L,R+2N)
+        dts_raw, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
 
-        ys = selective_scan(u, delta, A, Bs_, Cs_, D_, chunk=self.scan_chunk)
-        ys = ys.reshape(B, K, L, d_inner)
-        y = cross_merge(ys, H, W)  # (B, L, d_inner) fp32
+        A = -jnp.exp(A_logs.astype(f32))  # (K, d_inner, N)
+        ys = selective_scan_4dir(
+            layouts,
+            dts_raw,
+            dt_w.astype(f32),
+            dt_b.astype(f32),
+            A,
+            Bs,
+            Cs,
+            Ds.astype(f32),
+            chunk=self.scan_chunk,
+        )  # (B, 4, L, d_inner) natural order
+        # merge (reference CrossMerge): row dirs add directly; col dirs
+        # transpose back to row-major
+        y_col = (ys[:, 1] + ys[:, 3]).reshape(B, W, H, d_inner)
+        y_col = y_col.transpose(0, 2, 1, 3).reshape(B, L, d_inner)
+        y = ys[:, 0] + ys[:, 2] + y_col  # (B, L, d_inner) fp32
 
         y = nn.LayerNorm(name="out_norm", dtype=jnp.float32)(y)
         y = y.astype(x.dtype).reshape(B, H, W, d_inner)

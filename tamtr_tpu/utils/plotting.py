@@ -1,0 +1,83 @@
+"""Annotated-image output + training-curve plots (reference `utils/plotting.py`).
+
+Minimal host-side equivalents of `Annotator`/`plot_results`: box drawing with
+class/conf labels via cv2; results.csv curves via matplotlib when available.
+"""
+
+from __future__ import annotations
+
+import colorsys
+from pathlib import Path
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def _palette(n: int) -> List[tuple]:
+    return [
+        tuple(int(c * 255) for c in colorsys.hsv_to_rgb(i / max(n, 1), 0.8, 0.95))
+        for i in range(n)
+    ]
+
+
+def annotate_image(
+    img_bgr: np.ndarray,
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    labels: np.ndarray,
+    names: Sequence[str],
+    line_width: int | None = None,
+) -> np.ndarray:
+    import cv2
+
+    out = img_bgr.copy()
+    lw = line_width or max(round(sum(out.shape[:2]) / 2 * 0.003), 2)
+    colors = _palette(max(len(names), 1))
+    for b, s, l in zip(boxes, scores, labels):
+        c = colors[int(l) % len(colors)]
+        p1, p2 = (int(b[0]), int(b[1])), (int(b[2]), int(b[3]))
+        cv2.rectangle(out, p1, p2, c, lw, cv2.LINE_AA)
+        name = names[int(l)] if int(l) < len(names) else str(int(l))
+        label = f"{name} {float(s):.2f}"
+        tf = max(lw - 1, 1)
+        w, h = cv2.getTextSize(label, 0, lw / 3, tf)[0]
+        cv2.rectangle(out, p1, (p1[0] + w, p1[1] - h - 3), c, -1, cv2.LINE_AA)
+        cv2.putText(out, label, (p1[0], p1[1] - 2), 0, lw / 3, (255, 255, 255), tf, cv2.LINE_AA)
+    return out
+
+
+def save_annotated(results: List[Dict], save_dir: str | Path) -> None:
+    import cv2
+
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    for r in results:
+        img = cv2.imread(r["path"])
+        out = annotate_image(img, r["boxes"], r["scores"], r["labels"], r["names"])
+        cv2.imwrite(str(save_dir / Path(r["path"]).name), out)
+
+
+def plot_results(csv_path: str | Path, save_path: str | Path | None = None) -> None:
+    """Training curves from results.csv (reference `plot_results`)."""
+    import csv as _csv
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    rows = list(_csv.DictReader(open(csv_path)))
+    if not rows:
+        return
+    keys = [k for k in rows[0] if k != "epoch"]
+    epochs = [float(r["epoch"]) for r in rows]
+    n = len(keys)
+    fig, axes = plt.subplots((n + 3) // 4, 4, figsize=(16, 3 * ((n + 3) // 4)))
+    for ax, k in zip(np.ravel(axes), keys):
+        ax.plot(epochs, [float(r[k] or 0) for r in rows])
+        ax.set_title(k)
+    fig.tight_layout()
+    fig.savefig(save_path or Path(csv_path).with_name("results.png"), dpi=120)
+    plt.close(fig)

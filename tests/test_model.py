@@ -67,3 +67,17 @@ def test_eval_forward(tiny_model):
     pred = np.asarray(out["pred"])
     assert np.all(np.isfinite(pred))
     assert (pred[..., 4:] >= 0).all() and (pred[..., 4:] <= 1).all()
+
+
+def test_rtdetr_variant_forward():
+    """Text-free RT-DETR twin: plain Linear score heads, no TIAGELAN."""
+    model = TAMTRModel.from_yaml("rtdetr.yaml", nc=5, max_gt=8, scan_chunk=32)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    txt = jnp.zeros((1, 5, 512), jnp.float32)  # ignored by the Linear heads
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cdn": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        img, txt, None, False,
+    )
+    out = model.apply(variables, img, txt, None, False)
+    assert out["pred"].shape == (1, 100, 9)  # 4 + nc
+    assert np.all(np.isfinite(np.asarray(out["pred"])))

