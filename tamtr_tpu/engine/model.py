@@ -97,7 +97,8 @@ class Engine:
         steps_per_epoch = len(loader)
 
         model = TAMTRModel.from_yaml(
-            self.model_cfg, nc=nc, max_gt=cfg.max_gt, scan_chunk=cfg.scan_chunk
+            self.model_cfg, nc=nc, max_gt=cfg.max_gt, scan_chunk=cfg.scan_chunk,
+            dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
         )
         self.model = model
         tc = TrainConfig(
@@ -111,8 +112,17 @@ class Engine:
             (cfg.batch, cfg.imgsz, cfg.imgsz, 3), nc,
             steps_per_epoch=steps_per_epoch, max_gt=cfg.max_gt,
         )
-        loss_cfg = DETRLossConfig(nc=nc, match_method=cfg.match_method)
-        step_fn = make_train_step(model, tx, loss_cfg, tc)
+        if model.head_type == "Detect":
+            from tamtr_tpu.losses.v8_loss import V8LossConfig, v8_detection_loss
+
+            v8cfg = V8LossConfig(nc=nc, box=cfg.box, cls=cfg.cls, dfl=cfg.dfl, imgsz=cfg.imgsz)
+            step_fn = make_train_step(
+                model, tx, None, tc,
+                loss_callable=lambda o, t: v8_detection_loss(o, t, v8cfg),
+            )
+        else:
+            loss_cfg = DETRLossConfig(nc=nc, match_method=cfg.match_method)
+            step_fn = make_train_step(model, tx, loss_cfg, tc)
 
         repl, bsh = replicated(mesh), batch_sharding(mesh)
         state = jax.device_put(state, repl)
@@ -168,16 +178,14 @@ class Engine:
                         agg[k] += float(m[k])
             dt = time.time() - t0
             ips = n_steps * cfg.batch / max(dt, 1e-9)
+            comp = {k: float(v) for k, v in m.items() if k not in ("loss", "grad_norm")}
+            comp_str = " ".join(f"{k}={v:.3f}" for k, v in comp.items())
             LOGGER.info(
                 f"epoch {epoch + 1}/{cfg.epochs}: loss={float(m['loss']):.3f} "
-                f"giou={float(m['giou']):.3f} cls={float(m['class']):.3f} "
-                f"bbox={float(m['bbox']):.3f} {ips:.1f} img/s"
+                f"{comp_str} {ips:.1f} img/s"
             )
             # validation + checkpointing (host 0)
-            row = {
-                "epoch": epoch + 1, "loss": float(m["loss"]), "giou": float(m["giou"]),
-                "class": float(m["class"]), "bbox": float(m["bbox"]), "img_per_sec": ips,
-            }
+            row = {"epoch": epoch + 1, "loss": float(m["loss"]), **comp, "img_per_sec": ips}
             if cfg.val and data.get("val"):
                 self.state = state
                 metrics_out = self._validate(
@@ -255,9 +263,14 @@ class Engine:
         }
         conf = cfg.conf if cfg.conf is not None else 0.4
 
+        pixel_head = model.head_type == "Detect"  # YOLO preds are in imgsz pixels
+
         @jax.jit
         def eval_step(variables, img, txt):
             out = model.apply(variables, img, txt, None, False)["pred"]
+            if pixel_head:
+                scale = jnp.array([1.0 / cfg.imgsz] * 4 + [1.0] * (out.shape[-1] - 4))
+                out = out * scale
             return postprocess_predictions(out, conf, cfg.iou, cfg.max_det)
 
         metrics = DetMetrics()
@@ -332,10 +345,14 @@ class Engine:
             paths = list(source)
         variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
         conf = cfg.conf if cfg.conf is not None else 0.25
+        pixel_head = self.model.head_type == "Detect"
 
         @jax.jit
         def eval_step(variables, img, txt):
             out = self.model.apply(variables, img, txt, None, False)["pred"]
+            if pixel_head:
+                scale = jnp.array([1.0 / cfg.imgsz] * 4 + [1.0] * (out.shape[-1] - 4))
+                out = out * scale
             return postprocess_predictions(out, conf, cfg.iou, cfg.max_det)
 
         txt = jnp.asarray(self.txt_feats[None])

@@ -64,14 +64,16 @@ def parse_graph(cfg: Dict[str, Any], nc: Optional[int] = None):
 
     specs = []
     head_spec = None
+    head_type = None
     save = set()
     n_layers = len(entries)
     for i, (f, n, m, args) in enumerate(entries):
         n = max(round(n * gd), 1) if n > 1 else n
         args = [nc if a == "nc" else a for a in args]
-        if m == "ManbaWorldDecoder":
+        if m in ("ManbaWorldDecoder", "Detect"):
             assert i == n_layers - 1, "head must be last"
             head_spec = (tuple(f), tuple(args))
+            head_type = m
             for j in f:
                 save.add(j if j >= 0 else i + j)
             continue
@@ -88,8 +90,8 @@ def parse_graph(cfg: Dict[str, Any], nc: Optional[int] = None):
         if m == "Conv" and gw != 1.0:
             args = [_make_divisible(args[0] * gw, 8)] + args[1:]
         specs.append((i, f_field, m, tuple(args)))
-    assert head_spec is not None, "graph must end with a decoder head"
-    return tuple(specs), head_spec, tuple(sorted(save)), nc
+    assert head_spec is not None, "graph must end with a detection head"
+    return tuple(specs), head_spec, tuple(sorted(save)), nc, head_type
 
 
 def _make_divisible(x, divisor):
@@ -138,6 +140,7 @@ class TAMTRModel(nn.Module):
     head_args: Tuple
     save: Tuple[int, ...]
     nc: int
+    head_type: str = "ManbaWorldDecoder"
     max_gt: int = 128
     scan_chunk: int = 128
     wire_text_attn: bool = False
@@ -149,8 +152,11 @@ class TAMTRModel(nn.Module):
     @classmethod
     def from_yaml(cls, path: str | Path, nc: Optional[int] = None, **kw) -> "TAMTRModel":
         cfg = load_model_yaml(path)
-        specs, head_spec, save, nc_ = parse_graph(cfg, nc)
-        return cls(specs=specs, head_from=head_spec[0], head_args=head_spec[1], save=save, nc=nc_, **kw)
+        specs, head_spec, save, nc_, head_type = parse_graph(cfg, nc)
+        return cls(
+            specs=specs, head_from=head_spec[0], head_args=head_spec[1], save=save,
+            nc=nc_, head_type=head_type, **kw,
+        )
 
     @nn.compact
     def __call__(
@@ -182,6 +188,10 @@ class TAMTRModel(nn.Module):
             y.append(x if idx in self.save else None)
 
         feats = [y[j] for j in self.head_from]
+        if self.head_type == "Detect":
+            from tamtr_tpu.nn.yolo_head import Detect
+
+            return Detect(nc=self.nc, name="head")(feats, train)
         nc_h, hd, nq, ndp, nh, ndl = self.head_args[:6]
         use_text = bool(self.head_args[6]) if len(self.head_args) > 6 else True
         head = ManbaWorldDecoder(

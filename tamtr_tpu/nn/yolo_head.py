@@ -1,0 +1,118 @@
+"""Anchor-free YOLO Detect head with DFL box distribution.
+
+Capability-parity rebuild of the reference `Detect` head
+(`nn/modules/head.py:22-83`) + `make_anchors`/`dist2bbox`
+(`utils/tal.py:249-279`) + the DFL integral decode
+(`nn/modules/block.py:17-37`), in NHWC flax.
+
+Train output: per-level raw maps flattened to (B, A, 4*reg_max + nc).
+Eval output: (B, A, 4 + nc) with decoded xywh (pixel units) and sigmoid
+class scores.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tamtr_tpu.nn.layers import ConvBN
+
+
+def make_anchors(
+    shapes: Sequence[Tuple[int, int]], strides: Sequence[int], offset: float = 0.5
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Anchor points (cell centers) + per-anchor stride. Host-side, static."""
+    pts, strs = [], []
+    for (h, w), s in zip(shapes, strides):
+        sx = (np.arange(w, dtype=np.float32) + offset)
+        sy = (np.arange(h, dtype=np.float32) + offset)
+        gy, gx = np.meshgrid(sy, sx, indexing="ij")
+        pts.append(np.stack([gx, gy], -1).reshape(-1, 2))
+        strs.append(np.full((h * w, 1), s, np.float32))
+    return np.concatenate(pts), np.concatenate(strs)
+
+
+def dist2bbox(dist: jnp.ndarray, anchor_points: jnp.ndarray, xywh: bool = True) -> jnp.ndarray:
+    """(l, t, r, b) distances -> boxes around anchor points."""
+    lt, rb = jnp.split(dist, 2, axis=-1)
+    x1y1 = anchor_points - lt
+    x2y2 = anchor_points + rb
+    if xywh:
+        return jnp.concatenate([(x1y1 + x2y2) / 2, x2y2 - x1y1], axis=-1)
+    return jnp.concatenate([x1y1, x2y2], axis=-1)
+
+
+def bbox2dist(bboxes_xyxy: jnp.ndarray, anchor_points: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """Boxes -> (l, t, r, b) clipped to reg_max - 0.01 (reference `bbox2dist`)."""
+    x1y1, x2y2 = jnp.split(bboxes_xyxy, 2, axis=-1)
+    return jnp.clip(
+        jnp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], axis=-1),
+        0,
+        reg_max - 1 - 0.01,
+    )
+
+
+def dfl_decode(distri: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
+    """Integral of the softmax bin distribution (the DFL conv, `block.py:17-37`)."""
+    *lead, four_r = distri.shape
+    d = distri.reshape(*lead, 4, reg_max)
+    p = jax.nn.softmax(d.astype(jnp.float32), axis=-1)
+    return (p * jnp.arange(reg_max, dtype=jnp.float32)).sum(-1)
+
+
+class Detect(nn.Module):
+    """YOLOv8 detect head over nl feature levels."""
+
+    nc: int = 80
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], train: bool = False):
+        ch = [f.shape[-1] for f in feats]
+        c2 = max(16, ch[0] // 4, self.reg_max * 4)
+        c3 = max(ch[0], min(self.nc, 100))
+        box_flat, cls_flat = [], []
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        for i, f in enumerate(feats):
+            b = ConvBN(c2, 3, name=f"cv2_{i}_0")(f, train)
+            b = ConvBN(c2, 3, name=f"cv2_{i}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), name=f"cv2_{i}_2")(b)
+            c = ConvBN(c3, 3, name=f"cv3_{i}_0")(f, train)
+            c = ConvBN(c3, 3, name=f"cv3_{i}_1")(c, train)
+            # cls bias prior (reference `Detect.bias_init`)
+            c = nn.Conv(
+                self.nc,
+                (1, 1),
+                name=f"cv3_{i}_2",
+                bias_init=lambda k, s, dtype=jnp.float32, i=i: jnp.full(
+                    s, float(np.log(5 / self.nc / (640 / self.strides[i]) ** 2)), dtype
+                ),
+            )(c)
+            B = f.shape[0]
+            box_flat.append(b.reshape(B, -1, 4 * self.reg_max))
+            cls_flat.append(c.reshape(B, -1, self.nc))
+        distri = jnp.concatenate(box_flat, 1)  # (B, A, 4*reg_max)
+        scores = jnp.concatenate(cls_flat, 1)  # (B, A, nc)
+
+        anchor_np, stride_np = make_anchors(shapes, self.strides)
+        anchors = jnp.asarray(anchor_np)  # (A, 2) in cell units
+        strides_a = jnp.asarray(stride_np)  # (A, 1)
+
+        out = {
+            "distri": distri,
+            "scores": scores,
+            "anchors": anchors,
+            "strides": strides_a,
+        }
+        if not train:
+            d = dfl_decode(distri, self.reg_max)
+            boxes = dist2bbox(d, anchors[None], xywh=True) * strides_a[None]
+            out["pred"] = jnp.concatenate(
+                [boxes, jax.nn.sigmoid(scores.astype(jnp.float32))], axis=-1
+            )
+        return out

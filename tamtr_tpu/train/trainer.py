@@ -178,14 +178,21 @@ def create_train_state(
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
-    loss_cfg: DETRLossConfig,
+    loss_cfg: Any,
     cfg: TrainConfig,
+    loss_callable: Optional[Callable] = None,
 ) -> Callable:
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
 
     `batch`: img (B,H,W,3) f32 in [0,1]; txt_feats (B,K,512);
     cls (B,M) int32; bboxes (B,M,4) normalized cxcywh; mask (B,M) bool.
+    `loss_callable(outputs, targets) -> (loss, items)` defaults to the
+    RT-DETR detection loss; the YOLO task passes `v8_detection_loss`.
     """
+    if loss_callable is None:
+        loss_callable = lambda outputs, targets: rtdetr_detection_loss(
+            outputs, targets, loss_cfg
+        )
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         targets = {"cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
@@ -201,7 +208,7 @@ def make_train_step(
                 rngs={"cdn": k_cdn, "dropout": k_drop},
                 mutable=["batch_stats"],
             )
-            loss, items = rtdetr_detection_loss(outputs, targets, loss_cfg)
+            loss, items = loss_callable(outputs, targets)
             return loss, (items, mutated["batch_stats"])
 
         (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -222,11 +229,10 @@ def make_train_step(
             ema_params=ema_p,
             ema_batch_stats=ema_b,
         )
+        keys = [k for k in ("giou", "class", "bbox", "box", "cls", "dfl") if k in items]
         metrics = {
             "loss": loss,
-            "giou": items["giou"],
-            "class": items["class"],
-            "bbox": items["bbox"],
+            **{k: items[k] for k in keys},
             "grad_norm": optax.global_norm(grads),
         }
         return new_state, metrics

@@ -30,7 +30,7 @@ def tiny_model():
 
 def test_parse_graph():
     cfg = load_model_yaml("tamtr.yaml")
-    specs, head_spec, save, nc = parse_graph(cfg, nc=10)
+    specs, head_spec, save, nc, head_type = parse_graph(cfg, nc=10)
     assert nc == 10
     assert len(specs) == 41
     assert head_spec[0] == (32, 36, 40)

@@ -100,3 +100,41 @@ def test_plotting_annotate(rng):
     )
     assert out.shape == img.shape
     assert (out != img).any()
+
+
+def test_inference_source_loader(tmp_path, rng):
+    import cv2
+
+    from tamtr_tpu.data.loaders import load_inference_source
+
+    img = (rng.random((40, 60, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "a.jpg"), img)
+    cv2.imwrite(str(tmp_path / "b.png"), img)
+    # video
+    vw = cv2.VideoWriter(
+        str(tmp_path / "v.avi"), cv2.VideoWriter_fourcc(*"MJPG"), 5, (60, 40)
+    )
+    for _ in range(6):
+        vw.write(img)
+    vw.release()
+    items = list(load_inference_source(tmp_path, vid_stride=2))
+    names = [n for n, _ in items]
+    assert sum(n.endswith((".jpg", ".png")) for n in names) == 2
+    assert sum("#" in n for n in names) == 3  # 6 frames stride 2
+    # ndarray passthrough
+    assert list(load_inference_source(img))[0][0] == "array"
+
+
+def test_profiler():
+    from tamtr_tpu.utils.profiler import Profile, flops_of
+
+    p = Profile()
+    with p:
+        sum(range(1000))
+    assert p.t > 0 and p.n == 1
+
+    import jax.numpy as jnp
+
+    cost = flops_of(lambda x: x @ x, jnp.ones((64, 64)))
+    if cost is not None:
+        assert cost["gflops"] >= 0
