@@ -168,6 +168,16 @@ class DetectionDataset:
         """Disable mosaic for the final epochs (reference `close_mosaic`)."""
         self._mosaic_on = False
 
+    def get_val(self, i: int) -> Tuple[np.ndarray, A.Sample, Tuple[int, int]]:
+        """Eval sample: (stretched RGB float image, native-space labels, (h, w))."""
+        import cv2
+
+        raw = self._read(i)
+        h, w = raw.img.shape[:2]
+        img = cv2.resize(raw.img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
+        img = img[..., ::-1].astype(np.float32) / 255.0
+        return img, raw, (h, w)
+
     def get(self, i: int, rng: Optional[np.random.Generator] = None) -> A.Sample:
         """Load + augment one sample at imgsz (stretch/scaleFill path)."""
         rng = rng or self._rng

@@ -279,25 +279,33 @@ class Engine:
         n = len(ds)
         coco_records = [] if cfg.save_json else None
         t0 = time.time()
-        for start in range(0, n, bs):
-            idxs = list(range(start, min(start + bs, n)))
-            raws = [ds._read(i) for i in idxs]
-            imgs = []
-            for r in raws:
-                import cv2
 
-                imgs.append(
-                    cv2.resize(r.img, (cfg.imgsz, cfg.imgsz))[..., ::-1].astype(np.float32) / 255.0
-                )
-            # pad batch to bs for a single compiled shape
-            while len(imgs) < bs:
+        # prefetch val batches with a thread pool (IO/resize overlap compute)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=max(cfg.workers, 1))
+        batches = [list(range(s, min(s + bs, n))) for s in range(0, n, bs)]
+
+        def fetch(idxs):
+            return [ds.get_val(i) for i in idxs]
+
+        futures = {bi: pool.submit(fetch, batches[bi]) for bi in range(min(4, len(batches)))}
+        for bi, idxs in enumerate(batches):
+            nxt = bi + 4
+            if nxt < len(batches):
+                futures[nxt] = pool.submit(fetch, batches[nxt])
+            items = futures.pop(bi).result()
+            raws = [it[1] for it in items]
+            shapes_hw = [it[2] for it in items]
+            imgs = [it[0] for it in items]
+            while len(imgs) < bs:  # pad to a single compiled shape
                 imgs.append(np.zeros_like(imgs[0]))
             img = jnp.asarray(np.stack(imgs))
             txt = jnp.broadcast_to(txt_all, (bs,) + txt_all.shape[1:])
             boxes, scores, labels, valid = jax.device_get(eval_step(variables, img, txt))
             for k, i in enumerate(idxs):
                 r = raws[k]
-                oh, ow = r.img.shape[:2]
+                oh, ow = shapes_hw[k]
                 sel = valid[k] & (scores[k] > 0)
                 pb = boxes[k][sel] * np.array([ow, oh, ow, oh], np.float32)
                 pc = labels[k][sel].astype(np.float32)
@@ -315,6 +323,7 @@ class Engine:
                             "labels": labels[k][sel],
                         }
                     )
+        pool.shutdown(wait=False, cancel_futures=True)
         if coco_records is not None:
             from tamtr_tpu.utils.coco import predictions_to_coco
 

@@ -410,10 +410,271 @@ def _ss2d_fwd(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk):
     return y, (layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds)
 
 
+SS2D_BWD_IMPL = "pallas"  # "pallas" | "xla" (oracle / fallback)
+
+
+def set_ss2d_bwd_impl(name: str) -> None:
+    global SS2D_BWD_IMPL
+    assert name in ("pallas", "xla")
+    SS2D_BWD_IMPL = name
+
+
 def _ss2d_bwd(chunk, res, dy):
+    if SS2D_BWD_IMPL == "pallas":
+        return _ss2d_bwd_pallas(chunk, res, dy)
     args = res
     _, vjp = jax.vjp(lambda *a: ss2d_scan_xla(*a, chunk=min(chunk, 128)), *args)
     return vjp(dy)
 
 
 ss2d_scan.defvjp(_ss2d_fwd, _ss2d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward for the fused SS2D scan.
+#
+# Forward (per group g, per (n, d)):
+#   z = dt_raw @ dt_w + dt_b;  dt = softplus(z)
+#   a_t = exp(dt_t * A);  b_t = (dt_t * u_t) * B_t
+#   h_t = a_t h_{t-1} + b_t;  y_t = sum_n C_tn h_tnd + D_d u_td
+#
+# Given dL/dy:
+#   g_t := dL/dh_t = C_t (x) dy_t + a_{t+1} g_{t+1}   (reverse-time scan)
+#   dC_tn = sum_d dy h;     dB_tn = sum_d g (dt u)
+#   d(dtA)_tnd = g h_{t-1} a;  ddt = sum_n d(dtA) A + (sum_n g B) u
+#   du = (sum_n g B) dt + D dy;  dA = sum_t d(dtA) dt;  dD = sum_t dy u
+#   dz = ddt * sigmoid(z) = ddt * (1 - exp(-dt))
+#
+# Two passes: (1) recompute per-chunk incoming states h_in[c] (tiny HBM),
+# (2) walk chunks in reverse carrying g in VMEM, recomputing a/b/h per chunk.
+# Reverse-direction scans are handled by flipping inputs in XLA and reusing
+# the forward-direction backward.
+# ---------------------------------------------------------------------------
+
+
+def _carriers_kernel(u_ref, dtr_ref, dtw_ref, dtb_ref, A_ref, B_ref, hcar_ref, h_ref):
+    """Emit the state entering each chunk; update the carried state."""
+    s_idx = pl.program_id(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    hcar_ref[0, 0] = h_ref[...]
+
+    u = u_ref[0]
+    dt = jnp.dot(dtr_ref[0], dtw_ref[0], preferred_element_type=jnp.float32)
+    dt = jax.nn.softplus(dt + dtb_ref[0])
+    A = A_ref[0]
+    Bc = B_ref[0]
+    S = u.shape[0]
+    a = jnp.exp(dt[:, None, :] * A[None])
+    b = (dt * u)[:, None, :] * Bc[:, :, None]
+    a_s, b_s = _chunk_scan_two_level(a, b, reverse=False)
+    h_in = h_ref[...]
+    h_last = (a_s[S - 1 : S] * h_in[None] + b_s[S - 1 : S]).reshape(h_in.shape)
+    h_ref[...] = h_last
+
+
+def _bwd_kernel(
+    u_ref, dtr_ref, dtw_ref, dtb_ref, A_ref, B_ref, C_ref, dy_ref, hcar_ref,
+    du_ref, dz_ref, dB_ref, dC_ref, dA_ref,
+    g_ref, abound_ref, dAacc_ref,
+):
+    """One chunk of the backward, chunks walked in reverse time order."""
+    s_idx = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        g_ref[...] = jnp.zeros_like(g_ref)
+        abound_ref[...] = jnp.zeros_like(abound_ref)  # a_{L} := 0
+        dAacc_ref[...] = jnp.zeros_like(dAacc_ref)
+
+    u = u_ref[0]  # (S, Dblk)
+    dt = jnp.dot(dtr_ref[0], dtw_ref[0], preferred_element_type=jnp.float32)
+    dt = jax.nn.softplus(dt + dtb_ref[0])
+    A = A_ref[0]  # (N, Dblk)
+    Bc = B_ref[0]  # (S, N)
+    Cc = C_ref[0]
+    dy = dy_ref[0]  # (S, Dblk)
+    S = u.shape[0]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0)
+
+    a = jnp.exp(dt[:, None, :] * A[None])  # (S, N, Dblk)
+    b = (dt * u)[:, None, :] * Bc[:, :, None]
+
+    # recompute h within chunk from the stored incoming state
+    A_f, B_f = _chunk_scan_two_level(a, b, reverse=False)
+    h_in = hcar_ref[0, 0]  # (N, Dblk)
+    h_all = A_f * h_in[None] + B_f
+    h_prev = pltpu.roll(h_all, 1, axis=0)
+    h_prev = jnp.where(pos == 0, h_in[None], h_prev)
+
+    # reverse-time g scan: g_t = q_t + a_{t+1} g_{t+1}
+    q = dy[:, None, :] * Cc[:, :, None]  # (S, N, Dblk)
+    a_next = pltpu.roll(a, S - 1, axis=0)  # a_{t+1} (circular -1)
+    a_next = jnp.where(pos == S - 1, abound_ref[...][None], a_next)
+    A_r, Q_r = _chunk_scan_two_level(a_next, q, reverse=True)
+    g_in = g_ref[...]  # g of the first element of the later chunk
+    g_all = A_r * g_in[None] + Q_r
+
+    dtu = (dt * u)[:, None, :]
+    dC_ref[0, 0] = jnp.sum(dy[:, None, :] * h_all, axis=2)  # (S, N)
+    dB_ref[0, 0] = jnp.sum(g_all * dtu, axis=2)  # (S, N)
+    gB = jnp.sum(g_all * Bc[:, :, None], axis=1)  # (S, Dblk)
+    ddA = g_all * h_prev * a  # (S, N, Dblk)
+    ddt = gB * u + jnp.sum(ddA * A[None], axis=1)
+    du_ref[0] = gB * dt  # caller adds the D-skip term dy * Dskip
+    dz_ref[0] = ddt * (1.0 - jnp.exp(-dt))
+    dAacc_ref[...] += jnp.sum(ddA * dt[:, None, :], axis=0)
+
+    g_ref[...] = g_all[0:1].reshape(g_in.shape)
+    abound_ref[...] = a[0:1].reshape(g_in.shape)
+
+    @pl.when(s_idx == n_s - 1)
+    def _():
+        dA_ref[0] = dAacc_ref[...]
+
+
+def _run_ss2d_bwd_fwddir(u, dt_raw, dt_w, dt_b, A_t, Bs, Cs, dy, chunk):
+    """Backward of a forward-direction fused scan. Shapes as `_run_ss2d_scan`;
+    dy (G, L, D). Returns du_core, dz (G,L,D); dB, dC (G,L,N); dA (G,N,D)."""
+    G, L, D = u.shape
+    R = dt_raw.shape[-1]
+    N = A_t.shape[1]
+    S = min(chunk, L)
+    pad = (-L) % S
+    if pad:
+        cfg = ((0, 0), (0, pad), (0, 0))
+        u = jnp.pad(u, cfg)
+        dt_raw = jnp.pad(dt_raw, cfg)
+        Bs = jnp.pad(Bs, cfg)
+        Cs = jnp.pad(Cs, cfg)
+        dy = jnp.pad(dy, cfg)
+    Lp = L + pad
+    nS = Lp // S
+    Dblk = min(D, 128)
+    nD = D // Dblk
+
+    fwd = lambda g, d, s: (g, s, d)
+    rev = lambda g, d, s: (g, nS - 1 - s, d)
+    dcol = lambda g, d, s: (g, 0, d)
+    fcol = lambda g, d, s: (g, s, 0)
+    rcol = lambda g, d, s: (g, nS - 1 - s, 0)
+    car_f = lambda g, d, s: (g, s, 0, d)
+    car_r = lambda g, d, s: (g, nS - 1 - s, 0, d)
+
+    hcar = pl.pallas_call(
+        _carriers_kernel,
+        grid=(G, nD, nS),
+        in_specs=[
+            pl.BlockSpec((1, S, Dblk), fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, R), fcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, Dblk), dcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Dblk), dcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dblk), dcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, N), fcol, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, N, Dblk), car_f, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, nS, N, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((N, Dblk), jnp.float32)],
+        interpret=_interpret(),
+    )(u, dt_raw, dt_w, dt_b, A_t, Bs)
+
+    du, dz, dB4, dC4, dA = pl.pallas_call(
+        _bwd_kernel,
+        grid=(G, nD, nS),
+        in_specs=[
+            pl.BlockSpec((1, S, Dblk), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, R), rcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, Dblk), dcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Dblk), dcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dblk), dcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, N), rcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, N), rcol, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Dblk), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N, Dblk), car_r, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, Dblk), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Dblk), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, N), lambda g, d, s: (g, d, nS - 1 - s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, N), lambda g, d, s: (g, d, nS - 1 - s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Dblk), dcol, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, Lp, D), jnp.float32),
+            jax.ShapeDtypeStruct((G, Lp, D), jnp.float32),
+            jax.ShapeDtypeStruct((G, nD, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((G, nD, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((G, N, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, Dblk), jnp.float32),
+            pltpu.VMEM((N, Dblk), jnp.float32),
+            pltpu.VMEM((N, Dblk), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(u, dt_raw, dt_w, dt_b, A_t, Bs, Cs, dy, hcar)
+
+    dB = dB4.sum(1)
+    dC = dC4.sum(1)
+    if pad:
+        du, dz, dB, dC = du[:, :L], dz[:, :L], dB[:, :L], dC[:, :L]
+    return du, dz, dB, dC, dA
+
+
+def _ss2d_bwd_pallas(chunk, res, dy):
+    """Assemble per-argument gradients from the per-direction kernel passes."""
+    layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds = res
+    B, _, L, D = layouts.shape
+    N = A.shape[-1]
+    R = dt_w.shape[-1]
+    # the backward holds ~12 (S, N, Dblk) buffers live; S=128 keeps the
+    # working set inside the 16 MB VMEM scoped limit
+    S = max(min(chunk, L, 128), 16)
+
+    d_layouts = jnp.zeros_like(layouts)
+    d_dts = jnp.zeros_like(dts_raw)
+    d_dtw = jnp.zeros_like(dt_w)
+    d_dtb = jnp.zeros_like(dt_b)
+    d_A = jnp.zeros_like(A)
+    d_Bs = jnp.zeros_like(Bs)
+    d_Cs = jnp.zeros_like(Cs)
+    d_Ds = jnp.zeros_like(Ds)
+
+    for k in range(4):
+        j = k % 2  # layout
+        f = k // 2  # 0 = fwd, 1 = rev
+        lay = layouts[:, j]
+        dtr = dts_raw[:, f, j]
+        Bk = Bs[:, f, j]
+        Ck = Cs[:, f, j]
+        dyk = dy[:, k]
+        if f == 1:  # reverse-direction: flip to reuse the forward backward
+            lay, dtr, Bk, Ck, dyk = (
+                lay[:, ::-1], dtr[:, ::-1], Bk[:, ::-1], Ck[:, ::-1], dyk[:, ::-1]
+            )
+        dtw_g = jnp.broadcast_to(dt_w[k].T[None], (B, R, D))
+        dtb_g = jnp.broadcast_to(dt_b[k][None, None], (B, 1, D))
+        A_g = jnp.broadcast_to(A[k].T[None], (B, N, D))
+        du, dz, dBk, dCk, dAk = _run_ss2d_bwd_fwddir(
+            lay, dtr, dtw_g, dtb_g, A_g, Bk, Ck, dyk, S
+        )
+        if f == 1:
+            du, dz, dBk, dCk = du[:, ::-1], dz[:, ::-1], dBk[:, ::-1], dCk[:, ::-1]
+        dy_nat = dy[:, k]
+        lay_nat = layouts[:, j]
+        dtr_nat = dts_raw[:, f, j]
+        # D-skip contributions (outside the kernel)
+        du = du + dy_nat * Ds[k][None, None]
+        d_Ds = d_Ds.at[k].add((dy_nat * lay_nat).sum((0, 1)))
+        d_layouts = d_layouts.at[:, j].add(du)
+        d_dts = d_dts.at[:, f, j].add(jnp.einsum("bld,dr->blr", dz, dt_w[k]))
+        d_dtw = d_dtw.at[k].add(jnp.einsum("bld,blr->dr", dz, dtr_nat))
+        d_dtb = d_dtb.at[k].add(dz.sum((0, 1)))
+        d_A = d_A.at[k].add(dAk.sum(0).T)
+        d_Bs = d_Bs.at[:, f, j].add(dBk)
+        d_Cs = d_Cs.at[:, f, j].add(dCk)
+    return d_layouts, d_dts, d_dtw, d_dtb, d_A, d_Bs, d_Cs, d_Ds

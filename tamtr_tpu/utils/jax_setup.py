@@ -19,10 +19,13 @@ def setup_jax(cache_dir: str | None = None) -> None:
         return
     import jax
 
-    cache = cache_dir or os.environ.get(
+    base = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", str(Path.home() / ".cache" / "tamtr_jax")
     )
     try:
+        # per-backend subdirectory: a cache shared between the TPU and CPU
+        # runtimes aborts on executable deserialization
+        cache = str(Path(base) / jax.default_backend())
         Path(cache).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

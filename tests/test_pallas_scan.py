@@ -120,3 +120,28 @@ def test_ss2d_module_pallas_equals_xla(rng):
     y_p = np.asarray(m.apply(params, x))
     ssm.set_scan_impl("auto")
     np.testing.assert_allclose(y_p, y_x, atol=1e-4, rtol=1e-4)
+
+
+def test_ss2d_bwd_pallas_matches_xla(rng):
+    """Pallas backward (carrier + reverse-walk kernels) vs XLA VJP oracle."""
+    import tamtr_tpu.kernels.selective_scan as ssk
+
+    args = _ss2d_args(rng, B=2, H=4, W=10, Din=8, N=4, R=4)  # Lp padding exercised
+
+    def loss_p(*a):
+        return (ssk.ss2d_scan(*a, 16) * jnp.arange(1, 5)[None, :, None, None]).sum()
+
+    def loss_x(*a):
+        return (ssk.ss2d_scan_xla(*a, chunk=8) * jnp.arange(1, 5)[None, :, None, None]).sum()
+
+    ssk.set_ss2d_bwd_impl("pallas")
+    try:
+        gp = jax.grad(loss_p, argnums=tuple(range(8)))(*args)
+    finally:
+        ssk.set_ss2d_bwd_impl("pallas")
+    gx = jax.grad(loss_x, argnums=tuple(range(8)))(*args)
+    names = ["layouts", "dts_raw", "dt_w", "dt_b", "A", "Bs", "Cs", "Ds"]
+    for n, p, x in zip(names, gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(x), atol=2e-3, rtol=2e-3, err_msg=n
+        )
