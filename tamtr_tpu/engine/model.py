@@ -364,6 +364,8 @@ class Engine:
                 out = out * scale
             return postprocess_predictions(out, conf, cfg.iou, cfg.max_det)
 
+        from tamtr_tpu.engine.results import Results
+
         txt = jnp.asarray(self.txt_feats[None])
         results = []
         for path in paths:
@@ -375,13 +377,14 @@ class Engine:
             )
             sel = valid[0] & (scores[0] > 0)
             results.append(
-                {
-                    "path": path,
-                    "boxes": boxes[0][sel] * np.array([ow, oh, ow, oh], np.float32),
-                    "scores": scores[0][sel],
-                    "labels": labels[0][sel],
-                    "names": self.names,
-                }
+                Results(
+                    path,
+                    boxes[0][sel] * np.array([ow, oh, ow, oh], np.float32),
+                    scores[0][sel],
+                    labels[0][sel],
+                    self.names,
+                    orig_shape=(oh, ow),
+                )
             )
         return results
 

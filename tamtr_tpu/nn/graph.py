@@ -70,7 +70,7 @@ def parse_graph(cfg: Dict[str, Any], nc: Optional[int] = None):
     for i, (f, n, m, args) in enumerate(entries):
         n = max(round(n * gd), 1) if n > 1 else n
         args = [nc if a == "nc" else a for a in args]
-        if m in ("ManbaWorldDecoder", "Detect"):
+        if m in ("ManbaWorldDecoder", "Detect", "Classify"):
             assert i == n_layers - 1, "head must be last"
             head_spec = (tuple(f), tuple(args))
             head_type = m
@@ -192,6 +192,10 @@ class TAMTRModel(nn.Module):
             from tamtr_tpu.nn.yolo_head import Detect
 
             return Detect(nc=self.nc, name="head")(feats, train)
+        if self.head_type == "Classify":
+            from tamtr_tpu.nn.yolo_head import Classify
+
+            return Classify(nc=self.nc, name="head")(feats, train)
         nc_h, hd, nq, ndp, nh, ndl = self.head_args[:6]
         use_text = bool(self.head_args[6]) if len(self.head_args) > 6 else True
         head = ManbaWorldDecoder(

@@ -116,3 +116,19 @@ class Detect(nn.Module):
                 [boxes, jax.nn.sigmoid(scores.astype(jnp.float32))], axis=-1
             )
         return out
+
+
+class Classify(nn.Module):
+    """Image classification head (reference `nn/modules/head.py:152`):
+    Conv 1x1 -> global average pool -> dropout -> Dense(nc). Returns logits."""
+
+    nc: int = 1000
+    c_hidden: int = 1280
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = feats[-1] if isinstance(feats, (list, tuple)) else feats
+        x = ConvBN(self.c_hidden, 1, 1)(x, train)
+        x = x.mean(axis=(1, 2))  # global average pool
+        logits = nn.Dense(self.nc)(x.astype(jnp.float32))
+        return {"logits": logits, "pred": jax.nn.softmax(logits, axis=-1)}

@@ -1,0 +1,57 @@
+"""Benchmark harness (reference `utils/benchmarks.py`): export-format sweep +
+inference timing for a trained model.
+
+`benchmark(engine)` exports to each available format, runs a timed inference
+through AutoBackend, and returns a table of {format, ok, img_per_sec}.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def benchmark(
+    engine,
+    imgsz: int = 640,
+    batch: int = 1,
+    formats: Optional[List[str]] = None,
+    out_dir: str = "runs/benchmark",
+    n_iter: int = 10,
+) -> List[Dict[str, Any]]:
+    import jax
+
+    from tamtr_tpu.engine.exporter import FORMATS, export_model
+
+    formats = formats or list(FORMATS)
+    assert engine.model is not None and engine.state is not None
+    variables = {
+        "params": engine.state.ema_params,
+        "batch_stats": engine.state.ema_batch_stats,
+    }
+    n_text = max(len(engine.names), 1)
+    rows: List[Dict[str, Any]] = []
+
+    # native jax timing first (the deployment path)
+    fwd = jax.jit(lambda img, txt: engine.model.apply(variables, img, txt, None, False)["pred"])
+    img = np.random.default_rng(0).random((batch, imgsz, imgsz, 3), dtype=np.float32)
+    txt = np.zeros((batch, n_text, 512), np.float32)
+    jax.device_get(fwd(img, txt))
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        jax.device_get(fwd(img, txt))
+    dt = (time.perf_counter() - t0) / n_iter
+    rows.append({"format": "jax", "ok": True, "img_per_sec": round(batch / dt, 2)})
+
+    for fmt in formats:
+        try:
+            path = export_model(
+                engine.model, variables, imgsz, n_text, Path(out_dir) / fmt, fmt, batch
+            )
+            rows.append({"format": fmt, "ok": True, "path": str(path)})
+        except Exception as e:  # gated formats (e.g. TF missing)
+            rows.append({"format": fmt, "ok": False, "error": str(e)[:120]})
+    return rows

@@ -138,3 +138,32 @@ def test_profiler():
     cost = flops_of(lambda x: x @ x, jnp.ones((64, 64)))
     if cost is not None:
         assert cost["gflops"] >= 0
+
+
+def test_results_container(tmp_path, rng):
+    import cv2
+
+    from tamtr_tpu.engine.results import Results
+
+    img = (rng.random((80, 120, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "img.jpg"
+    cv2.imwrite(str(p), img)
+    r = Results(
+        str(p),
+        np.array([[10, 10, 50, 40], [60, 20, 100, 70]], np.float32),
+        np.array([0.9, 0.7], np.float32),
+        np.array([0, 1]),
+        ["car", "van"],
+        orig_shape=(80, 120),
+    )
+    assert len(r) == 2
+    assert r["path"] == str(p)  # dict-compat
+    out = r.plot()
+    assert out.shape == img.shape
+    r.save(tmp_path / "annotated.jpg")
+    assert (tmp_path / "annotated.jpg").exists()
+    r.save_txt(tmp_path / "labels.txt", save_conf=True)
+    lines = (tmp_path / "labels.txt").read_text().splitlines()
+    assert len(lines) == 2 and lines[0].startswith("0 ")
+    data = json.loads(r.tojson())
+    assert data[0]["name"] == "car" and data[1]["class"] == 1

@@ -86,3 +86,16 @@ def test_yolo_model_forward_and_loss():
     assert np.isfinite(float(loss)) and float(loss) > 0
     gn = float(jax.tree.reduce(lambda a, x: a + jnp.abs(x).sum(), grads, 0.0))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_classify_head_forward():
+    model = TAMTRModel.from_yaml("classify-gelan.yaml", nc=7)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    txt = jnp.zeros((2, 7, 512), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cdn": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        img, txt, None, False,
+    )
+    out = model.apply(variables, img, txt, None, False)
+    assert out["logits"].shape == (2, 7)
+    np.testing.assert_allclose(np.asarray(out["pred"].sum(-1)), 1.0, atol=1e-5)
