@@ -128,6 +128,7 @@ class Config:
     text_embeddings: Optional[str] = None  # npz with per-class CLIP embeddings
     n_devices: Optional[int] = None
     bf16: bool = False
+    val_interval: int = 1  # validate every N epochs (1 = reference behavior)
 
     def asdict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -158,7 +158,6 @@ class Engine:
                 train_ds.close_mosaic()
             loader.set_epoch(epoch)
             t0 = time.time()
-            agg = {"loss": 0.0, "giou": 0.0, "class": 0.0, "bbox": 0.0}
             n_steps = 0
             for batch in loader:
                 dev_batch = shard_batch(
@@ -173,9 +172,7 @@ class Engine:
                 )
                 state, m = jit_step(state, dev_batch, rng)
                 n_steps += 1
-                if n_steps % 50 == 0 or n_steps == steps_per_epoch:
-                    for k in agg:
-                        agg[k] += float(m[k])
+                self.callbacks.fire("on_train_batch_end", self, n_steps)
             dt = time.time() - t0
             ips = n_steps * cfg.batch / max(dt, 1e-9)
             comp = {k: float(v) for k, v in m.items() if k not in ("loss", "grad_norm")}
@@ -186,7 +183,8 @@ class Engine:
             )
             # validation + checkpointing (host 0)
             row = {"epoch": epoch + 1, "loss": float(m["loss"]), **comp, "img_per_sec": ips}
-            if cfg.val and data.get("val"):
+            run_val = (epoch + 1) % max(cfg.val_interval, 1) == 0 or epoch == cfg.epochs - 1
+            if cfg.val and data.get("val") and run_val:
                 self.state = state
                 metrics_out = self._validate(
                     model, state, data, cfg, use_ema=True
@@ -254,6 +252,27 @@ class Engine:
                 raise RuntimeError("no weights loaded; train first or load a checkpoint")
         return self._validate(self.model, self.state, data, cfg, use_ema=True)
 
+    def _get_eval_step(self, model, conf, iou, max_det, imgsz):
+        """Jitted eval step, cached per (conf, iou, max_det, imgsz) — a fresh
+        closure per val call would retrace every epoch."""
+        key = (id(model), conf, iou, max_det, imgsz)
+        cache = getattr(self, "_eval_steps", None)
+        if cache is None:
+            cache = self._eval_steps = {}
+        if key not in cache:
+            pixel_head = model.head_type == "Detect"  # YOLO preds in imgsz pixels
+
+            @jax.jit
+            def eval_step(variables, img, txt):
+                out = model.apply(variables, img, txt, None, False)["pred"]
+                if pixel_head:
+                    scale = jnp.array([1.0 / imgsz] * 4 + [1.0] * (out.shape[-1] - 4))
+                    out = out * scale
+                return postprocess_predictions(out, conf, iou, max_det)
+
+            cache[key] = eval_step
+        return cache[key]
+
     def _validate(self, model, state, data, cfg: Config, use_ema: bool = True) -> Dict[str, float]:
         split_dir = data.get(cfg.split) or data.get("val")
         ds = DetectionDataset(split_dir, imgsz=cfg.imgsz, augment=False)
@@ -263,15 +282,7 @@ class Engine:
         }
         conf = cfg.conf if cfg.conf is not None else 0.4
 
-        pixel_head = model.head_type == "Detect"  # YOLO preds are in imgsz pixels
-
-        @jax.jit
-        def eval_step(variables, img, txt):
-            out = model.apply(variables, img, txt, None, False)["pred"]
-            if pixel_head:
-                scale = jnp.array([1.0 / cfg.imgsz] * 4 + [1.0] * (out.shape[-1] - 4))
-                out = out * scale
-            return postprocess_predictions(out, conf, cfg.iou, cfg.max_det)
+        eval_step = self._get_eval_step(model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
 
         metrics = DetMetrics()
         bs = max(cfg.batch, 1)
@@ -354,15 +365,7 @@ class Engine:
             paths = list(source)
         variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
         conf = cfg.conf if cfg.conf is not None else 0.25
-        pixel_head = self.model.head_type == "Detect"
-
-        @jax.jit
-        def eval_step(variables, img, txt):
-            out = self.model.apply(variables, img, txt, None, False)["pred"]
-            if pixel_head:
-                scale = jnp.array([1.0 / cfg.imgsz] * 4 + [1.0] * (out.shape[-1] - 4))
-                out = out * scale
-            return postprocess_predictions(out, conf, cfg.iou, cfg.max_det)
+        eval_step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
 
         from tamtr_tpu.engine.results import Results
 

@@ -50,6 +50,9 @@ class TrainConfig:
     ema_decay: float = 0.9999
     ema_tau: float = 2000.0
     match_method: str = "auto"
+    # skip the optimizer/EMA update when loss or grads are non-finite
+    # (the reference has no guard and relies on AMP checks, SURVEY §5.2)
+    skip_nonfinite: bool = True
 
     @property
     def accum_steps(self) -> int:
@@ -212,8 +215,19 @@ def make_train_step(
             return loss, (items, mutated["batch_stats"])
 
         (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        gnorm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if cfg.skip_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            new_params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_params, state.params
+            )
+            new_opt = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape") else new,
+                new_opt,
+                state.opt_state,
+            )
 
         # EMA update (reference decay ramp)
         t = (state.step + 1).astype(jnp.float32)
@@ -233,7 +247,7 @@ def make_train_step(
         metrics = {
             "loss": loss,
             **{k: items[k] for k in keys},
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": gnorm,
         }
         return new_state, metrics
 
