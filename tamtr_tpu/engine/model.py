@@ -370,21 +370,60 @@ class Engine:
         from tamtr_tpu.engine.results import Results
 
         txt = jnp.asarray(self.txt_feats[None])
+        # TTA (reference `_predict_augment`, `tasks.py:272-307`): scales
+        # 1 / 0.83 / 0.67 (snapped to the stride grid) with a horizontal flip
+        # on the middle scale; merged detections get a final NMS.
+        if cfg.augment:
+            passes = [
+                (cfg.imgsz, False),
+                (max(round(cfg.imgsz * 0.83 / 32) * 32, 32), True),
+                (max(round(cfg.imgsz * 0.67 / 32) * 32, 32), False),
+            ]
+        else:
+            passes = [(cfg.imgsz, False)]
+
         results = []
         for path in paths:
             im0 = cv2.imread(path)
             oh, ow = im0.shape[:2]
-            img = cv2.resize(im0, (cfg.imgsz, cfg.imgsz))[..., ::-1].astype(np.float32) / 255.0
-            boxes, scores, labels, valid = jax.device_get(
-                eval_step(variables, jnp.asarray(img[None]), txt)
-            )
-            sel = valid[0] & (scores[0] > 0)
+            all_b, all_s, all_l = [], [], []
+            for sz, flip in passes:
+                img = cv2.resize(im0, (sz, sz))[..., ::-1].astype(np.float32) / 255.0
+                if flip:
+                    img = img[:, ::-1]
+                step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, sz)
+                boxes, scores, labels, valid = jax.device_get(
+                    step(variables, jnp.asarray(np.ascontiguousarray(img)[None]), txt)
+                )
+                sel = valid[0] & (scores[0] > 0)
+                b = boxes[0][sel]
+                if flip:  # un-flip normalized xyxy
+                    b = np.stack([1 - b[:, 2], b[:, 1], 1 - b[:, 0], b[:, 3]], -1)
+                all_b.append(b)
+                all_s.append(scores[0][sel])
+                all_l.append(labels[0][sel])
+            b = np.concatenate(all_b)
+            s = np.concatenate(all_s)
+            l = np.concatenate(all_l)
+            if len(passes) > 1 and len(b):
+                from tamtr_tpu.ops.nms import multiclass_nms
+
+                pad = cfg.max_det * len(passes) - len(b)
+                bp = np.pad(b, ((0, pad), (0, 0)))
+                sp = np.pad(s, (0, pad))
+                lp = np.pad(l, (0, pad))
+                keep, valid_k = jax.device_get(
+                    multiclass_nms(jnp.asarray(bp), jnp.asarray(sp), jnp.asarray(lp),
+                                   cfg.iou, cfg.max_det)
+                )
+                idx = keep[valid_k]
+                b, s, l = b[idx[idx < len(b)]], s[idx[idx < len(s)]], l[idx[idx < len(l)]]
             results.append(
                 Results(
                     path,
-                    boxes[0][sel] * np.array([ow, oh, ow, oh], np.float32),
-                    scores[0][sel],
-                    labels[0][sel],
+                    b * np.array([ow, oh, ow, oh], np.float32),
+                    s,
+                    l,
                     self.names,
                     orig_shape=(oh, ow),
                 )

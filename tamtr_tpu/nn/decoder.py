@@ -444,7 +444,12 @@ class ManbaWorldDecoder(nn.Module):
             bias_init=lambda k, s, dtype=jnp.float32: jnp.full(s, bias_cls, dtype),
         )(features)  # (B, L, nc)
 
-        topk_val, topk_ind = jax.lax.top_k(enc_scores_all.max(-1), self.nq)  # (B, nq)
+        L_tok = enc_scores_all.shape[1]
+        k_eff = min(self.nq, L_tok)  # tiny inputs (TTA small scales) may have L < nq
+        topk_val, topk_ind = jax.lax.top_k(enc_scores_all.max(-1), k_eff)
+        if k_eff < self.nq:
+            reps = -(-self.nq // k_eff)
+            topk_ind = jnp.tile(topk_ind, (1, reps))[:, : self.nq]
         top_feats = jnp.take_along_axis(features, topk_ind[..., None], axis=1)  # (B, nq, hd)
         top_anchors = jnp.take_along_axis(
             jnp.broadcast_to(anchors, (B,) + anchors.shape[1:]), topk_ind[..., None], axis=1

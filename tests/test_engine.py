@@ -58,3 +58,21 @@ def test_engine_train_and_val(synth_root):
     preds = eng.predict(str(synth_root.parent / "val" / "images"), imgsz=64, conf=0.01)
     assert len(preds) == 4
     assert all("boxes" in p and "scores" in p for p in preds)
+
+
+def test_engine_tta_predict(synth_root):
+    """TTA predict (3 scales + flip merge) runs and returns Results."""
+    from tamtr_tpu.engine.model import Engine
+
+    eng = Engine("tamtr.yaml")
+    eng.train(
+        data=str(synth_root), imgsz=64, epochs=1, batch=2, workers=2, max_gt=8,
+        scan_chunk=32, warmup_epochs=5, project=str(synth_root.parent / "runs_tta"),
+        val=False, save=False, conf=0.01,
+    )
+    preds = eng.predict(
+        str(synth_root.parent / "val" / "images"), imgsz=64, conf=0.01, augment=True
+    )
+    assert len(preds) == 4
+    for p in preds:
+        assert p.boxes.xyxy.shape[1] == 4
