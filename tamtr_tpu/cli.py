@@ -65,7 +65,12 @@ def main(argv: List[str] | None = None) -> None:
     model_arg = ov.pop("model", "tamtr.yaml")
     model = TAMTR(model_arg if str(model_arg).endswith(".yaml") else "tamtr.yaml")
     if not str(model_arg).endswith(".yaml"):
-        model.load(str(model_arg))
+        # nc=/names= help load checkpoints that predate metadata
+        nc = ov.pop("nc", None)
+        names = ov.pop("names", None)
+        if isinstance(names, str):
+            names = names.split(",")
+        model.load(str(model_arg), nc=nc, names=names)
     if mode == "train":
         print(model.train(**ov))
     elif mode == "val":
