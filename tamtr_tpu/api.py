@@ -33,6 +33,10 @@ class TAMTR:
     def predict(self, source: Any = None, **kwargs: Any):
         return self._lazy_engine().predict(source, **kwargs)
 
+    def tune(self, iterations: int = 10, **kwargs: Any):
+        """Mutation-based hyperparameter evolution over short trainings."""
+        return self._lazy_engine().tune(iterations, **kwargs)
+
     def export(self, fmt: str = "orbax", **kwargs: Any):
         """Export weights (orbax / savedmodel via jax2tf / tflite / npz)."""
         return self._lazy_engine().export(fmt, **kwargs)

@@ -430,6 +430,27 @@ class Engine:
             )
         return results
 
+    def tune(self, iterations: int = 10, **overrides: Any) -> Dict[str, float]:
+        """Hyperparameter evolution (reference `Model.tune`): mutate hypers,
+        run short trainings, keep the fitness-best (engine/tuner.py)."""
+        from tamtr_tpu.engine.tuner import Tuner
+
+        base_cfg = get_cfg(overrides=overrides)
+        tuner = Tuner(save_dir=Path(base_cfg.project or "runs") / "tune", seed=base_cfg.seed)
+
+        def train_fn(hyp: Dict[str, float]) -> Dict[str, float]:
+            ov = {**overrides, **hyp, "save": False, "plots": False}
+            eng = Engine(self.model_cfg)
+            return eng.train(**ov)
+
+        base_hyp = {
+            k: getattr(base_cfg, k)
+            for k in ("lr0", "lrf", "momentum", "weight_decay", "warmup_epochs",
+                      "warmup_bias_lr", "hsv_h", "hsv_s", "hsv_v", "translate",
+                      "scale", "fliplr", "mosaic", "mixup")
+        }
+        return tuner(train_fn, base_hyp=base_hyp, iterations=iterations)
+
     def load(self, ckpt_path: str, nc: Optional[int] = None, names: Optional[List[str]] = None) -> "Engine":
         """Load weights from an orbax checkpoint (metadata supplies nc/names)."""
         from tamtr_tpu.engine.checkpoint import load_checkpoint_raw
