@@ -70,7 +70,8 @@ def parse_graph(cfg: Dict[str, Any], nc: Optional[int] = None):
     for i, (f, n, m, args) in enumerate(entries):
         n = max(round(n * gd), 1) if n > 1 else n
         args = [nc if a == "nc" else a for a in args]
-        if m in ("ManbaWorldDecoder", "Detect", "Classify"):
+        args = [tuple(a) if isinstance(a, list) else a for a in args]  # hashable
+        if m in ("ManbaWorldDecoder", "Detect", "Segment", "Pose", "Classify"):
             assert i == n_layers - 1, "head must be last"
             head_spec = (tuple(f), tuple(args))
             head_type = m
@@ -192,6 +193,15 @@ class TAMTRModel(nn.Module):
             from tamtr_tpu.nn.yolo_head import Detect
 
             return Detect(nc=self.nc, name="head")(feats, train)
+        if self.head_type == "Segment":
+            from tamtr_tpu.nn.yolo_head import Segment
+
+            return Segment(nc=self.nc, name="head")(feats, train)
+        if self.head_type == "Pose":
+            from tamtr_tpu.nn.yolo_head import Pose
+
+            kpt = tuple(self.head_args[1]) if len(self.head_args) > 1 else (17, 3)
+            return Pose(nc=self.nc, kpt_shape=kpt, name="head")(feats, train)
         if self.head_type == "Classify":
             from tamtr_tpu.nn.yolo_head import Classify
 

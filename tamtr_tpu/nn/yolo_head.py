@@ -132,3 +132,80 @@ class Classify(nn.Module):
         x = x.mean(axis=(1, 2))  # global average pool
         logits = nn.Dense(self.nc)(x.astype(jnp.float32))
         return {"logits": logits, "pred": jax.nn.softmax(logits, axis=-1)}
+
+
+class Proto(nn.Module):
+    """Mask prototype module (reference `nn/modules/block.py:Proto`):
+    Conv3x3 -> 2x transposed-conv upsample -> Conv3x3 -> 1x1 to nm protos."""
+
+    c_: int = 256
+    nm: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = ConvBN(self.c_, 3, name="cv1")(x, train)
+        x = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2), name="upsample")(x)
+        x = ConvBN(self.c_, 3, name="cv2")(x, train)
+        return ConvBN(self.nm, 1, name="cv3")(x, train)
+
+
+class Segment(nn.Module):
+    """Instance segmentation head (reference `nn/modules/head.py:85`):
+    Detect + per-anchor mask coefficients + prototype masks from P3."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], train: bool = False):
+        out = Detect(self.nc, self.reg_max, self.strides, name="detect")(feats, train)
+        protos = Proto(self.npr, self.nm, name="proto")(feats[0], train)  # (B, 2*H0, 2*W0, nm)
+        c4 = max(feats[0].shape[-1] // 4, self.nm)
+        mcs = []
+        for i, f in enumerate(feats):
+            m = ConvBN(c4, 3, name=f"cv4_{i}_0")(f, train)
+            m = ConvBN(c4, 3, name=f"cv4_{i}_1")(m, train)
+            m = nn.Conv(self.nm, (1, 1), name=f"cv4_{i}_2")(m)
+            mcs.append(m.reshape(f.shape[0], -1, self.nm))
+        out["mask_coefs"] = jnp.concatenate(mcs, 1)  # (B, A, nm)
+        out["protos"] = protos
+        return out
+
+
+class Pose(nn.Module):
+    """Keypoint detection head (reference `nn/modules/head.py:111`):
+    Detect + per-anchor keypoint regression (kpt_shape = (nk, 3))."""
+
+    nc: int = 1
+    kpt_shape: Tuple[int, int] = (17, 3)
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], train: bool = False):
+        out = Detect(self.nc, self.reg_max, self.strides, name="detect")(feats, train)
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(feats[0].shape[-1] // 4, nk)
+        ks = []
+        for i, f in enumerate(feats):
+            k = ConvBN(c4, 3, name=f"cv4_{i}_0")(f, train)
+            k = ConvBN(c4, 3, name=f"cv4_{i}_1")(k, train)
+            k = nn.Conv(nk, (1, 1), name=f"cv4_{i}_2")(k)
+            ks.append(k.reshape(f.shape[0], -1, nk))
+        kraw = jnp.concatenate(ks, 1)  # (B, A, nk)
+        out["kpt_raw"] = kraw
+        if not train:
+            B, A, _ = kraw.shape
+            k3 = kraw.reshape(B, A, *self.kpt_shape).astype(jnp.float32)
+            anchors = out["anchors"][None, :, None, :]  # (1, A, 1, 2)
+            strides_a = out["strides"][None, :, None, :]  # (1, A, 1, 1)
+            xy = (k3[..., :2] * 2.0 + (anchors - 0.5)) * strides_a
+            if self.kpt_shape[1] == 3:
+                vis = jax.nn.sigmoid(k3[..., 2:3])
+                out["keypoints"] = jnp.concatenate([xy, vis], -1)
+            else:
+                out["keypoints"] = xy
+        return out

@@ -99,3 +99,92 @@ def test_classify_head_forward():
     out = model.apply(variables, img, txt, None, False)
     assert out["logits"].shape == (2, 7)
     np.testing.assert_allclose(np.asarray(out["pred"].sum(-1)), 1.0, atol=1e-5)
+
+
+def test_segment_head_and_loss():
+    from tamtr_tpu.losses.v8_seg_loss import V8SegLossConfig, v8_segmentation_loss
+
+    model = TAMTRModel.from_yaml("yolo-seg-gelan.yaml", nc=4)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    txt = jnp.zeros((1, 4, 512), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cdn": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        img, txt, None, False,
+    )
+    out = model.apply(variables, img, txt, None, False)
+    A = (64 // 8) ** 2 + (64 // 16) ** 2 + (64 // 32) ** 2
+    assert out["mask_coefs"].shape == (1, A, 32)
+    assert out["protos"].shape == (1, 16, 16, 32)  # 2x the P3 (stride 8) map
+    assert out["pred"].shape == (1, A, 8)
+
+    M, Hm, Wm = 4, 16, 16
+    masks = np.zeros((1, M, Hm, Wm), np.float32)
+    masks[0, 0, 4:10, 4:10] = 1.0
+    masks[0, 1, 8:14, 2:8] = 1.0
+    targets = {
+        "cls": jnp.zeros((1, M), jnp.int32),
+        "bboxes": jnp.asarray(
+            np.array([[[0.45, 0.45, 0.35, 0.35], [0.3, 0.7, 0.3, 0.3],
+                       [0.5, 0.5, 0.1, 0.1], [0.5, 0.5, 0.1, 0.1]]], np.float32)
+        ),
+        "mask": jnp.array([[True, True, False, False]]),
+        "masks": jnp.asarray(masks),
+    }
+    cfg = V8SegLossConfig(nc=4, imgsz=64, mask_topk=32)
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {**variables, "params": params}, img, txt, targets, True,
+            rngs={"cdn": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
+        )
+        total, items = v8_segmentation_loss(o, targets, cfg)
+        return total, items
+
+    (loss, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss)) and "seg" in items
+    gn = float(jax.tree.reduce(lambda a, x: a + jnp.abs(x).sum(), grads, 0.0))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_pose_head_and_loss():
+    from tamtr_tpu.losses.v8_pose_loss import V8PoseLossConfig, v8_pose_loss
+
+    model = TAMTRModel.from_yaml("yolo-pose-gelan.yaml", nc=1)
+    img = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    txt = jnp.zeros((1, 1, 512), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "cdn": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        img, txt, None, False,
+    )
+    out = model.apply(variables, img, txt, None, False)
+    A = (64 // 8) ** 2 + (64 // 16) ** 2 + (64 // 32) ** 2
+    assert out["kpt_raw"].shape == (1, A, 51)
+    assert out["keypoints"].shape == (1, A, 17, 3)
+
+    M = 2
+    kpts = np.zeros((1, M, 17, 3), np.float32)
+    kpts[0, 0, :, 0] = 30.0
+    kpts[0, 0, :, 1] = 30.0
+    kpts[0, 0, :, 2] = 2.0  # visible
+    targets = {
+        "cls": jnp.zeros((1, M), jnp.int32),
+        "bboxes": jnp.asarray(np.array([[[0.5, 0.5, 0.4, 0.4], [0.2, 0.2, 0.1, 0.1]]], np.float32)),
+        "mask": jnp.array([[True, False]]),
+        "keypoints": jnp.asarray(kpts),
+    }
+    cfg = V8PoseLossConfig(nc=1, imgsz=64, mask_topk=32)
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {**variables, "params": params}, img, txt, targets, True,
+            rngs={"cdn": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
+        )
+        total, items = v8_pose_loss(o, targets, cfg)
+        return total, items
+
+    (loss, items), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss)) and "pose" in items and "kobj" in items
+    gn = float(jax.tree.reduce(lambda a, x: a + jnp.abs(x).sum(), grads, 0.0))
+    assert np.isfinite(gn) and gn > 0
