@@ -27,24 +27,37 @@ except ImportError:  # pragma: no cover
 
 @dataclass
 class Sample:
-    """One image + labels in pixel space."""
+    """One image + labels in pixel space.
+
+    `segments` (optional): list of (n, 2) pixel polygons, one per box.
+    `keypoints` (optional): (N, nk, 3) pixel keypoints (x, y, visibility).
+    """
 
     img: np.ndarray  # (H, W, 3) uint8, BGR (cv2 convention; converted at format time)
     boxes: np.ndarray  # (N, 4) xyxy pixels
     cls: np.ndarray  # (N,) int32
+    segments: Optional[list] = None
+    keypoints: Optional[np.ndarray] = None
 
 
 def stretch_resize(sample: Sample, size: int) -> Sample:
     """scaleFill stretch to (size, size) — the TAM-TR load path
     (`data/base.py:167-168` with rect_mode=False, `augment.py:702-705`)."""
     h, w = sample.img.shape[:2]
+    segs, kpts = sample.segments, sample.keypoints
     if (h, w) != (size, size):
         img = cv2.resize(sample.img, (size, size), interpolation=cv2.INTER_LINEAR)
         sx, sy = size / w, size / h
         boxes = sample.boxes * np.array([sx, sy, sx, sy], dtype=np.float32)
+        if segs is not None:
+            segs = [p * np.array([sx, sy], np.float32) for p in segs]
+        if kpts is not None:
+            kpts = kpts.copy()
+            kpts[..., 0] *= sx
+            kpts[..., 1] *= sy
     else:
         img, boxes = sample.img, sample.boxes
-    return Sample(img, boxes.astype(np.float32), sample.cls)
+    return Sample(img, boxes.astype(np.float32), sample.cls, segs, kpts)
 
 
 def letterbox(
@@ -203,14 +216,24 @@ def random_flip(
 ) -> Sample:
     """Horizontal / vertical flips (`augment.py:612-667`)."""
     img, boxes = sample.img, sample.boxes.copy()
+    segs = None if sample.segments is None else [p.copy() for p in sample.segments]
+    kpts = None if sample.keypoints is None else sample.keypoints.copy()
     h, w = img.shape[:2]
     if flipud and rng.random() < flipud:
         img = np.flipud(img)
         boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+        if segs is not None:
+            segs = [np.stack([p[:, 0], h - p[:, 1]], -1) for p in segs]
+        if kpts is not None:
+            kpts[..., 1] = h - kpts[..., 1]
     if fliplr and rng.random() < fliplr:
         img = np.fliplr(img)
         boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
-    return Sample(np.ascontiguousarray(img), boxes, sample.cls)
+        if segs is not None:
+            segs = [np.stack([w - p[:, 0], p[:, 1]], -1) for p in segs]
+        if kpts is not None:
+            kpts[..., 0] = w - kpts[..., 0]
+    return Sample(np.ascontiguousarray(img), boxes, sample.cls, segs, kpts)
 
 
 def mixup(sample1: Sample, sample2: Sample, rng: np.random.Generator) -> Sample:

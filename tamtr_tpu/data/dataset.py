@@ -73,10 +73,14 @@ class DetectionDataset:
         aug: Optional[AugConfig] = None,
         cache_labels: bool = True,
         seed: int = 0,
+        task: str = "detect",
+        kpt_shape: Tuple[int, int] = (17, 3),
     ) -> None:
         self.imgsz = imgsz
         self.augment = augment
         self.aug = aug or AugConfig()
+        self.task = task  # "detect" | "segment" | "pose"
+        self.kpt_shape = kpt_shape
         self.im_files = self._glob_images(img_dir)
         if not self.im_files:
             raise FileNotFoundError(f"no images found under {img_dir}")
@@ -121,27 +125,64 @@ class DetectionDataset:
                 pass
         labels = []
         for lf in self.label_files:
-            try:
-                import warnings
-
-                with warnings.catch_warnings():
-                    warnings.simplefilter("ignore")  # empty label file => no objects
-                    arr = np.loadtxt(lf, ndmin=2, dtype=np.float32)
-            except (OSError, ValueError):
-                arr = np.zeros((0, 5), np.float32)
-            if arr.size == 0:
-                arr = np.zeros((0, 5), np.float32)
-            # dedupe exact rows (reference verify_image_label)
-            if len(arr):
-                arr = np.unique(arr, axis=0)
-                arr = arr[(arr[:, 1:] >= 0).all(1) & (arr[:, 1:5] <= 1).all(1)]
-            labels.append({"cls": arr[:, 0].astype(np.int32), "xywhn": arr[:, 1:5]})
+            labels.append(self._parse_label_file(lf))
         if use_cache:
             try:
                 np.savez_compressed(cp, labels=np.array(labels, dtype=object))
             except Exception:
                 pass
         return labels
+
+    def _parse_label_file(self, lf: str) -> Dict[str, np.ndarray]:
+        """Parse one YOLO label txt. Formats (reference `verify_image_label`):
+        detect: `cls cx cy w h`; segment: `cls x1 y1 ... xn yn` (polygon,
+        boxes derived from the polygon extent); pose: `cls cx cy w h
+        (px py v) * nk`. All values normalized."""
+        rows = []
+        try:
+            text = Path(lf).read_text()
+        except OSError:
+            text = ""
+        for line in text.splitlines():
+            vals = line.split()
+            if vals:
+                rows.append(np.array(vals, np.float32))
+        cls, xywhn, segments, kpts = [], [], [], []
+        nk, kdim = self.kpt_shape
+        for r in rows:
+            if self.task == "segment" and len(r) > 5 and (len(r) - 1) % 2 == 0:
+                poly = r[1:].reshape(-1, 2)
+                x1, y1 = poly.min(0)
+                x2, y2 = poly.max(0)
+                xywhn.append([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                segments.append(poly)
+                cls.append(r[0])
+            elif self.task == "pose" and len(r) == 5 + nk * kdim:
+                xywhn.append(r[1:5])
+                kpts.append(r[5:].reshape(nk, kdim))
+                cls.append(r[0])
+            elif len(r) >= 5:
+                xywhn.append(r[1:5])
+                cls.append(r[0])
+                if self.task == "segment":
+                    # box-only row in a seg dataset: box corners as polygon
+                    cx, cy, w, h = r[1:5]
+                    segments.append(np.array(
+                        [[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2],
+                         [cx + w / 2, cy + h / 2], [cx - w / 2, cy + h / 2]], np.float32))
+                elif self.task == "pose":
+                    kpts.append(np.zeros((nk, kdim), np.float32))
+        out = {
+            "cls": np.asarray(cls, np.int32).reshape(-1),
+            "xywhn": np.asarray(xywhn, np.float32).reshape(-1, 4).clip(0, 1),
+        }
+        if self.task == "segment":
+            out["segments"] = segments
+        if self.task == "pose":
+            out["kpts"] = (
+                np.stack(kpts) if kpts else np.zeros((0, nk, kdim), np.float32)
+            )
+        return out
 
     def __len__(self) -> int:
         return len(self.im_files)
@@ -162,7 +203,15 @@ class DetectionDataset:
             boxes[:, 1] = cy - bh / 2
             boxes[:, 2] = cx + bw / 2
             boxes[:, 3] = cy + bh / 2
-        return A.Sample(img, boxes, lab["cls"].copy())
+        segs = None
+        if "segments" in lab:
+            segs = [p * np.array([w, h], np.float32) for p in lab["segments"]]
+        kpts = None
+        if "kpts" in lab:
+            kpts = lab["kpts"].copy()
+            kpts[..., 0] *= w
+            kpts[..., 1] *= h
+        return A.Sample(img, boxes, lab["cls"].copy(), segs, kpts)
 
     def close_mosaic(self) -> None:
         """Disable mosaic for the final epochs (reference `close_mosaic`)."""
@@ -182,6 +231,12 @@ class DetectionDataset:
         """Load + augment one sample at imgsz (stretch/scaleFill path)."""
         rng = rng or self._rng
         s = self.imgsz
+        if self.augment and self.task != "detect":
+            # segment/pose: geometric warps of polygons/keypoints are not
+            # wired yet (ROADMAP); stretch + HSV + flips only
+            smp = A.stretch_resize(self._read(i), s)
+            smp = A.random_hsv(smp, rng, self.aug.hsv_h, self.aug.hsv_s, self.aug.hsv_v)
+            return A.random_flip(smp, rng, self.aug.fliplr, self.aug.flipud)
         if self.augment:
             if self._mosaic_on and rng.random() < self.aug.mosaic:
                 idxs = [i] + list(rng.integers(0, len(self), 3))
@@ -216,14 +271,28 @@ class DetectionDataset:
 
 
 def collate(
-    samples: Sequence[A.Sample], max_gt: int, imgsz: int
+    samples: Sequence[A.Sample],
+    max_gt: int,
+    imgsz: int,
+    task: str = "detect",
+    kpt_shape: Tuple[int, int] = (17, 3),
+    mask_ratio: int = 4,
 ) -> Dict[str, np.ndarray]:
-    """Fixed-shape batch dict (SURVEY A.12 contract, padded)."""
+    """Fixed-shape batch dict (SURVEY A.12 contract, padded).
+
+    segment task adds "masks" (B, M, imgsz/mask_ratio, imgsz/mask_ratio)
+    rasterized from polygons; pose adds "keypoints" (B, M, nk, kdim) pixels.
+    """
     B = len(samples)
     img = np.stack([s.img[..., ::-1] for s in samples]).astype(np.uint8)  # BGR->RGB
     cls = np.zeros((B, max_gt), np.int32)
     boxes = np.zeros((B, max_gt, 4), np.float32)
     mask = np.zeros((B, max_gt), bool)
+    if task == "segment":
+        hm = imgsz // mask_ratio
+        seg_masks = np.zeros((B, max_gt, hm, hm), np.float32)
+    if task == "pose":
+        keypoints = np.zeros((B, max_gt) + tuple(kpt_shape), np.float32)
     for b, s in enumerate(samples):
         n = min(len(s.cls), max_gt)
         if n:
@@ -241,7 +310,21 @@ def collate(
             boxes[b, :n] = np.stack([cx, cy, bw, bh], -1)
             cls[b, :n] = s.cls[order]
             mask[b, :n] = True
-    return {"img": img, "cls": cls, "bboxes": boxes, "mask": mask}
+            if task == "segment" and s.segments is not None:
+                import cv2
+
+                hm = imgsz // mask_ratio
+                for j, oi in enumerate(order):
+                    poly = (s.segments[int(oi)] / mask_ratio).astype(np.int32)
+                    cv2.fillPoly(seg_masks[b, j], [poly], 1.0)
+            if task == "pose" and s.keypoints is not None:
+                keypoints[b, :n] = s.keypoints[order]
+    out = {"img": img, "cls": cls, "bboxes": boxes, "mask": mask}
+    if task == "segment":
+        out["masks"] = seg_masks
+    if task == "pose":
+        out["keypoints"] = keypoints
+    return out
 
 
 def build_loader(
@@ -301,7 +384,11 @@ class Loader:
                 batch_idx = idxs[bi * self.bs : (bi + 1) * self.bs]
                 srng = np.random.default_rng((self.seed, self.epoch, bi))
                 samples = [self.ds.get(int(i), srng) for i in batch_idx]
-                return collate(samples, self.max_gt, self.ds.imgsz)
+                return collate(
+                    samples, self.max_gt, self.ds.imgsz,
+                    task=getattr(self.ds, "task", "detect"),
+                    kpt_shape=getattr(self.ds, "kpt_shape", (17, 3)),
+                )
 
             futures = {}
             for bi in range(min(self.prefetch, n_batches)):

@@ -87,8 +87,11 @@ class Engine:
             perspective=cfg.perspective, hsv_h=cfg.hsv_h, hsv_s=cfg.hsv_s,
             hsv_v=cfg.hsv_v, fliplr=cfg.fliplr, flipud=cfg.flipud,
         )
+        model_head = TAMTRModel.from_yaml(self.model_cfg, nc=nc).head_type
+        task = {"Segment": "segment", "Pose": "pose"}.get(model_head, "detect")
         train_ds = DetectionDataset(
-            data["train"], imgsz=cfg.imgsz, augment=True, aug=aug, seed=cfg.seed
+            data["train"], imgsz=cfg.imgsz, augment=True, aug=aug, seed=cfg.seed,
+            task=task,
         )
         loader = build_loader(
             train_ds, cfg.batch, max_gt=cfg.max_gt, seed=cfg.seed, workers=cfg.workers,
@@ -119,6 +122,25 @@ class Engine:
             step_fn = make_train_step(
                 model, tx, None, tc,
                 loss_callable=lambda o, t: v8_detection_loss(o, t, v8cfg),
+            )
+        elif model.head_type == "Segment":
+            from tamtr_tpu.losses.v8_seg_loss import V8SegLossConfig, v8_segmentation_loss
+
+            scfg = V8SegLossConfig(nc=nc, box=cfg.box, cls=cfg.cls, dfl=cfg.dfl, imgsz=cfg.imgsz)
+            step_fn = make_train_step(
+                model, tx, None, tc,
+                loss_callable=lambda o, t: v8_segmentation_loss(o, t, scfg),
+            )
+        elif model.head_type == "Pose":
+            from tamtr_tpu.losses.v8_pose_loss import V8PoseLossConfig, v8_pose_loss
+
+            pcfg = V8PoseLossConfig(
+                nc=nc, box=cfg.box, cls=cfg.cls, dfl=cfg.dfl, imgsz=cfg.imgsz,
+                pose=cfg.pose, kobj=cfg.kobj,
+            )
+            step_fn = make_train_step(
+                model, tx, None, tc,
+                loss_callable=lambda o, t: v8_pose_loss(o, t, pcfg),
             )
         else:
             loss_cfg = DETRLossConfig(nc=nc, match_method=cfg.match_method)
@@ -160,16 +182,17 @@ class Engine:
             t0 = time.time()
             n_steps = 0
             for batch in loader:
-                dev_batch = shard_batch(
-                    {
-                        "img": batch["img"].astype(np.float32) / 255.0,
-                        "txt_feats": txt,
-                        "cls": batch["cls"],
-                        "bboxes": batch["bboxes"],
-                        "mask": batch["mask"],
-                    },
-                    mesh,
-                )
+                host_batch = {
+                    "img": batch["img"].astype(np.float32) / 255.0,
+                    "txt_feats": txt,
+                    "cls": batch["cls"],
+                    "bboxes": batch["bboxes"],
+                    "mask": batch["mask"],
+                }
+                for extra in ("masks", "keypoints"):
+                    if extra in batch:
+                        host_batch[extra] = batch[extra]
+                dev_batch = shard_batch(host_batch, mesh)
                 state, m = jit_step(state, dev_batch, rng)
                 n_steps += 1
                 self.callbacks.fire("on_train_batch_end", self, n_steps)

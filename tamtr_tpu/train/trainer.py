@@ -199,6 +199,9 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         targets = {"cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
+        for extra in ("masks", "keypoints"):
+            if extra in batch:
+                targets[extra] = batch[extra]
         k_cdn, k_drop = jax.random.split(jax.random.fold_in(rng, state.step), 2)
 
         def loss_fn(params):

@@ -117,3 +117,61 @@ def test_text_embeddings_deterministic(tmp_path):
     np.savez(tmp_path / "emb.npz", embeddings=emb)
     e3 = class_text_embeddings(names, npz_path=tmp_path / "emb.npz")
     np.testing.assert_allclose(e3[0, 0], 1.0)
+
+
+def test_segment_task_dataset(tmp_path, rng):
+    import cv2
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    img = (rng.random((100, 100, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "images" / "a.jpg"), img)
+    # triangle polygon + one box-only row
+    (tmp_path / "labels" / "a.txt").write_text(
+        "1 0.2 0.2 0.8 0.2 0.5 0.8\n0 0.5 0.5 0.2 0.2"
+    )
+    ds = DetectionDataset(tmp_path / "images", imgsz=64, task="segment", cache_labels=False)
+    s = ds.get(0)
+    assert s.segments is not None and len(s.segments) == 2
+    assert len(s.boxes) == 2
+    from tamtr_tpu.data.dataset import collate
+
+    batch = collate([s], max_gt=4, imgsz=64, task="segment")
+    assert batch["masks"].shape == (1, 4, 16, 16)
+    assert batch["masks"][0, 0].sum() > 0  # triangle rasterized
+    assert batch["masks"][0, 2].sum() == 0  # padding empty
+
+
+def test_pose_task_dataset(tmp_path, rng):
+    import cv2
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    img = (rng.random((100, 100, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "images" / "a.jpg"), img)
+    kpts = " ".join("0.5 0.5 2" for _ in range(17))
+    (tmp_path / "labels" / "a.txt").write_text(f"0 0.5 0.5 0.4 0.4 {kpts}")
+    ds = DetectionDataset(tmp_path / "images", imgsz=64, task="pose", cache_labels=False)
+    s = ds.get(0)
+    assert s.keypoints is not None and s.keypoints.shape == (1, 17, 3)
+    np.testing.assert_allclose(s.keypoints[0, 0, :2], [32, 32], atol=1.0)
+    from tamtr_tpu.data.dataset import collate
+
+    batch = collate([s], max_gt=2, imgsz=64, task="pose")
+    assert batch["keypoints"].shape == (1, 2, 17, 3)
+
+
+def test_segment_flip_consistency(tmp_path, rng):
+    import cv2
+
+    from tamtr_tpu.data.augment import Sample, random_flip
+
+    poly = np.array([[10.0, 10.0], [30.0, 10.0], [20.0, 30.0]], np.float32)
+    s = Sample(
+        (rng.random((40, 40, 3)) * 255).astype(np.uint8),
+        np.array([[10, 10, 30, 30]], np.float32),
+        np.array([0]),
+        segments=[poly],
+    )
+    out = random_flip(s, np.random.default_rng(0), fliplr=1.0, flipud=0.0)
+    np.testing.assert_allclose(out.segments[0][:, 0], 40 - poly[:, 0])

@@ -76,3 +76,34 @@ def test_engine_tta_predict(synth_root):
     assert len(preds) == 4
     for p in preds:
         assert p.boxes.xyxy.shape[1] == 4
+
+
+def test_engine_segment_task(tmp_path):
+    """Segment model trains end-to-end through the engine (1 tiny epoch)."""
+    import cv2
+    import yaml as _yaml
+
+    from tamtr_tpu.engine.model import Engine
+
+    root = tmp_path / "segdata"
+    for split in ("train", "val"):
+        (root / split / "images").mkdir(parents=True)
+        (root / split / "labels").mkdir(parents=True)
+        rng2 = np.random.default_rng(0)
+        for i in range(2):
+            img = rng2.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+            cv2.imwrite(str(root / split / "images" / f"im{i}.jpg"), img)
+            (root / split / "labels" / f"im{i}.txt").write_text(
+                "0 0.3 0.3 0.7 0.3 0.5 0.7\n1 0.6 0.6 0.2 0.2"
+            )
+    yml = root / "data.yaml"
+    yml.write_text(_yaml.safe_dump({
+        "path": str(root), "train": "train/images", "val": "val/images",
+        "nc": 2, "names": {0: "a", 1: "b"},
+    }))
+    eng = Engine("yolo-seg-gelan.yaml")
+    res = eng.train(
+        data=str(yml), imgsz=64, epochs=1, batch=2, workers=1, max_gt=4,
+        warmup_epochs=2, project=str(tmp_path / "runs"), val=False, save=False,
+    )
+    assert isinstance(res, dict)
