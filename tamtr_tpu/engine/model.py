@@ -283,15 +283,27 @@ class Engine:
         if cache is None:
             cache = self._eval_steps = {}
         if key not in cache:
-            pixel_head = model.head_type == "Detect"  # YOLO preds in imgsz pixels
+            pixel_head = model.head_type in ("Detect", "Segment", "Pose")
 
             @jax.jit
             def eval_step(variables, img, txt):
-                out = model.apply(variables, img, txt, None, False)["pred"]
+                full = model.apply(variables, img, txt, None, False)
+                out = full["pred"]
                 if pixel_head:
                     scale = jnp.array([1.0 / imgsz] * 4 + [1.0] * (out.shape[-1] - 4))
                     out = out * scale
-                return postprocess_predictions(out, conf, iou, max_det)
+                boxes, scores, labels, valid, kept = postprocess_predictions(
+                    out, conf, iou, max_det
+                )
+                res = (boxes, scores, labels, valid)
+                if model.head_type == "Segment":
+                    coefs = jnp.take_along_axis(full["mask_coefs"], kept[..., None], axis=1)
+                    masks = jax.nn.sigmoid(
+                        jnp.einsum("bkn,bhwn->bkhw", coefs.astype(jnp.float32),
+                                   full["protos"].astype(jnp.float32))
+                    )
+                    res = res + (masks,)
+                return res
 
             cache[key] = eval_step
         return cache[key]
@@ -336,7 +348,9 @@ class Engine:
                 imgs.append(np.zeros_like(imgs[0]))
             img = jnp.asarray(np.stack(imgs))
             txt = jnp.broadcast_to(txt_all, (bs,) + txt_all.shape[1:])
-            boxes, scores, labels, valid = jax.device_get(eval_step(variables, img, txt))
+            boxes, scores, labels, valid, *_extra = jax.device_get(
+                eval_step(variables, img, txt)
+            )
             for k, i in enumerate(idxs):
                 r = raws[k]
                 oh, ow = shapes_hw[k]
@@ -415,11 +429,12 @@ class Engine:
                 if flip:
                     img = img[:, ::-1]
                 step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, sz)
-                boxes, scores, labels, valid = jax.device_get(
+                boxes, scores, labels, valid, *extra = jax.device_get(
                     step(variables, jnp.asarray(np.ascontiguousarray(img)[None]), txt)
                 )
                 sel = valid[0] & (scores[0] > 0)
                 b = boxes[0][sel]
+                det_masks = extra[0][0][sel] if extra else None
                 if flip:  # un-flip normalized xyxy
                     b = np.stack([1 - b[:, 2], b[:, 1], 1 - b[:, 0], b[:, 3]], -1)
                 all_b.append(b)
@@ -449,6 +464,7 @@ class Engine:
                     l,
                     self.names,
                     orig_shape=(oh, ow),
+                    masks=det_masks if not cfg.augment else None,
                 )
             )
         return results

@@ -44,11 +44,14 @@ class Results:
         labels: np.ndarray,
         names: Sequence[str],
         orig_shape: Optional[tuple] = None,
+        masks: Optional[np.ndarray] = None,
     ):
         self.path = path
         self.names = list(names)
         self.boxes = Boxes(boxes, scores, labels)
         self.orig_shape = orig_shape
+        # (N, Hm, Wm) sigmoid mask probabilities at proto resolution, or None
+        self.masks = masks
 
     def __len__(self) -> int:
         return len(self.boxes)
@@ -66,12 +69,24 @@ class Results:
     def __contains__(self, key: str) -> bool:
         return key in ("path", "boxes", "scores", "labels", "names")
 
-    def plot(self, line_width: Optional[int] = None) -> np.ndarray:
+    def plot(self, line_width: Optional[int] = None, mask_alpha: float = 0.4) -> np.ndarray:
         import cv2
 
         from tamtr_tpu.utils.plotting import annotate_image
 
         img = cv2.imread(self.path)
+        if self.masks is not None and len(self.masks):
+            from tamtr_tpu.utils.plotting import _palette
+
+            colors = _palette(max(len(self.names), 1))
+            overlay = img.astype(np.float32)
+            for m, l in zip(self.masks, self.boxes.cls):
+                mm = cv2.resize(
+                    m.astype(np.float32), (img.shape[1], img.shape[0])
+                ) > 0.5
+                c = np.array(colors[int(l) % len(colors)], np.float32)
+                overlay[mm] = overlay[mm] * (1 - mask_alpha) + c * mask_alpha
+            img = overlay.astype(np.uint8)
         return annotate_image(
             img, self.boxes.xyxy, self.boxes.conf, self.boxes.cls, self.names, line_width
         )

@@ -102,6 +102,12 @@ def postprocess_predictions(
     def per_image(b, s, l):
         keep, valid = multiclass_nms(b, s, l, iou_thres, max_det)
         safe = jnp.where(valid, keep, 0)
-        return b[safe], jnp.where(valid, s[safe], 0.0), l[safe].astype(jnp.int32), valid
+        return (
+            b[safe],
+            jnp.where(valid, s[safe], 0.0),
+            l[safe].astype(jnp.int32),
+            valid,
+            safe.astype(jnp.int32),  # kept source indices (for mask/kpt gather)
+        )
 
     return jax.vmap(per_image)(bboxes, scores, labels)

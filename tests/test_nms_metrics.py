@@ -53,10 +53,11 @@ def test_postprocess_shapes(rng):
     pred = np.concatenate(
         [rng.uniform(0.2, 0.8, (B, nq, 4)), rng.uniform(0, 1, (B, nq, nc))], -1
     ).astype(np.float32)
-    boxes, scores, labels, valid = postprocess_predictions(
+    boxes, scores, labels, valid, kept = postprocess_predictions(
         jnp.asarray(pred), conf_thres=0.4, iou_thres=0.6, max_det=10
     )
     assert boxes.shape == (B, 10, 4) and scores.shape == (B, 10)
+    assert kept.shape == (B, 10)
     assert np.asarray(scores)[~np.asarray(valid)].max(initial=0) == 0
 
 

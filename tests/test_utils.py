@@ -167,3 +167,38 @@ def test_results_container(tmp_path, rng):
     assert len(lines) == 2 and lines[0].startswith("0 ")
     data = json.loads(r.tojson())
     assert data[0]["name"] == "car" and data[1]["class"] == 1
+
+
+def test_fastsam_prompts(tmp_path, rng):
+    import cv2
+
+    from tamtr_tpu.engine.results import Results
+    from tamtr_tpu.models.fastsam import FastSAMPrompt
+
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "img.jpg"
+    cv2.imwrite(str(p), img)
+    masks = np.zeros((2, 16, 16), np.float32)
+    masks[0, 2:6, 2:6] = 1.0  # top-left object
+    masks[1, 10:14, 10:14] = 1.0  # bottom-right object
+    r = Results(
+        str(p),
+        np.array([[8, 8, 24, 24], [40, 40, 56, 56]], np.float32),
+        np.array([0.9, 0.8], np.float32),
+        np.array([0, 1]),
+        ["cat", "dog"],
+        orig_shape=(64, 64),
+        masks=masks,
+    )
+    fp = FastSAMPrompt(r)
+    ev = fp.everything()
+    assert ev.shape == (2, 64, 64) and ev[0].any() and ev[1].any()
+    # box prompt near the second object selects its mask
+    m = fp.box_prompt([38, 38, 58, 58])
+    assert m[48, 48] and not m[16, 16]
+    # positive point in object 1
+    m = fp.point_prompt([[16, 16]], [1])
+    assert m[16, 16] and not m[48, 48]
+    # text prompt picks by class-name similarity
+    m = fp.text_prompt("dog")
+    assert m[48, 48] and not m[16, 16]
