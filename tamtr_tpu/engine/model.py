@@ -34,6 +34,15 @@ from tamtr_tpu.utils.log import LOGGER
 from tamtr_tpu.utils.metrics import DetMetrics, match_predictions
 
 
+def _rasterize_poly(poly_px, shape_hw, scale):
+    """Fill one pixel-space polygon into a (H, W) float mask."""
+    import cv2
+
+    m = np.zeros(shape_hw, np.float32)
+    cv2.fillPoly(m, [(np.asarray(poly_px) * scale).astype(np.int32)], 1.0)
+    return m
+
+
 class EarlyStopping:
     """Stop after `patience` epochs without fitness improvement
     (reference `utils/torch_utils.py:527`); patience<=0 disables."""
@@ -310,7 +319,8 @@ class Engine:
 
     def _validate(self, model, state, data, cfg: Config, use_ema: bool = True) -> Dict[str, float]:
         split_dir = data.get(cfg.split) or data.get("val")
-        ds = DetectionDataset(split_dir, imgsz=cfg.imgsz, augment=False)
+        task = {"Segment": "segment", "Pose": "pose"}.get(model.head_type, "detect")
+        ds = DetectionDataset(split_dir, imgsz=cfg.imgsz, augment=False, task=task)
         variables = {
             "params": state.ema_params if use_ema else state.params,
             "batch_stats": state.ema_batch_stats if use_ema else state.batch_stats,
@@ -320,6 +330,7 @@ class Engine:
         eval_step = self._get_eval_step(model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
 
         metrics = DetMetrics()
+        mask_metrics = DetMetrics() if task == "segment" else None
         bs = max(cfg.batch, 1)
         txt_all = jnp.asarray(self.txt_feats[None])
         n = len(ds)
@@ -360,6 +371,25 @@ class Engine:
                 ps = scores[k][sel]
                 tp = match_predictions(pb, pc, r.boxes, r.cls.astype(np.float32))
                 metrics.update(tp, ps, pc, r.cls.astype(np.float32))
+                if mask_metrics is not None and _extra:
+                    import cv2
+
+                    from tamtr_tpu.utils.metrics import mask_iou_np
+
+                    pm = (_extra[0][k][sel] > 0.5)
+                    hm, wm = pm.shape[-2:] if len(pm) else (2, 2)
+                    gm = np.stack([
+                        cv2.resize(
+                            _rasterize_poly(seg, r.img.shape[:2], 1.0), (wm, hm)
+                        ) > 0.5
+                        for seg in (r.segments or [])
+                    ]) if r.segments else np.zeros((0, hm, wm), bool)
+                    miou = mask_iou_np(gm, pm) if len(gm) and len(pm) else None
+                    tp_m = match_predictions(
+                        pb, pc, r.boxes, r.cls.astype(np.float32),
+                        iou=miou if miou is not None else None,
+                    ) if miou is not None else np.zeros((len(pc), 10), bool)
+                    mask_metrics.update(tp_m, ps, pc, r.cls.astype(np.float32))
                 if coco_records is not None:
                     coco_records.append(
                         {
@@ -377,6 +407,10 @@ class Engine:
 
             predictions_to_coco(coco_records, Path(cfg.project or "runs") / "predictions.json")
         res = metrics.compute()
+        if mask_metrics is not None:
+            mres = mask_metrics.compute()
+            res["mask_mAP50"] = mres["mAP50"]
+            res["mask_mAP50-95"] = mres["mAP50-95"]
         res["images_per_sec"] = n / max(time.time() - t0, 1e-9)
         LOGGER.info(
             f"val: mAP50={res['mAP50']:.4f} mAP50-95={res['mAP50-95']:.4f} "

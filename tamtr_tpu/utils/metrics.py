@@ -28,18 +28,33 @@ def box_iou_np(a: np.ndarray, b: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     return inter / (area_a[:, None] + area_b[None, :] - inter + eps)
 
 
+def mask_iou_np(gt_masks: np.ndarray, pred_masks: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """(M, h, w) x (N, h, w) binary masks -> (M, N) IoU (reference `mask_iou`)."""
+    g = gt_masks.reshape(len(gt_masks), -1).astype(np.float32)
+    p = pred_masks.reshape(len(pred_masks), -1).astype(np.float32)
+    inter = g @ p.T
+    union = g.sum(1)[:, None] + p.sum(1)[None] - inter
+    return inter / (union + eps)
+
+
 def match_predictions(
     pred_boxes: np.ndarray,
     pred_cls: np.ndarray,
     gt_boxes: np.ndarray,
     gt_cls: np.ndarray,
     iouv: np.ndarray = IOUV,
+    iou: np.ndarray = None,
 ) -> np.ndarray:
-    """Per-image TP table (Npred, len(iouv)) bool (reference `validator.py:208-247`)."""
+    """Per-image TP table (Npred, len(iouv)) bool (reference `validator.py:208-247`).
+
+    Pass a precomputed (Ngt, Npred) `iou` matrix (e.g. mask IoU) to match on
+    something other than boxes.
+    """
     correct = np.zeros((len(pred_cls), len(iouv)), dtype=bool)
     if len(gt_cls) == 0 or len(pred_cls) == 0:
         return correct
-    iou = box_iou_np(gt_boxes, pred_boxes)
+    if iou is None:
+        iou = box_iou_np(gt_boxes, pred_boxes)
     correct_class = gt_cls[:, None] == pred_cls[None, :]
     iou = iou * correct_class
     for i, thr in enumerate(iouv):

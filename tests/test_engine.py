@@ -104,6 +104,7 @@ def test_engine_segment_task(tmp_path):
     eng = Engine("yolo-seg-gelan.yaml")
     res = eng.train(
         data=str(yml), imgsz=64, epochs=1, batch=2, workers=1, max_gt=4,
-        warmup_epochs=2, project=str(tmp_path / "runs"), val=False, save=False,
+        warmup_epochs=2, project=str(tmp_path / "runs"), val=True, save=False,
+        conf=0.01,
     )
-    assert isinstance(res, dict)
+    assert "mask_mAP50" in res and np.isfinite(res["mask_mAP50"])
