@@ -312,6 +312,11 @@ class Engine:
                                    full["protos"].astype(jnp.float32))
                     )
                     res = res + (masks,)
+                elif model.head_type == "Pose":
+                    kpts = jnp.take_along_axis(
+                        full["keypoints"], kept[:, :, None, None], axis=1
+                    )  # (B, max_det, nk, 3) in imgsz pixels
+                    res = res + (kpts,)
                 return res
 
             cache[key] = eval_step
@@ -331,6 +336,7 @@ class Engine:
 
         metrics = DetMetrics()
         mask_metrics = DetMetrics() if task == "segment" else None
+        pose_metrics = DetMetrics() if task == "pose" else None
         bs = max(cfg.batch, 1)
         txt_all = jnp.asarray(self.txt_feats[None])
         n = len(ds)
@@ -371,6 +377,27 @@ class Engine:
                 ps = scores[k][sel]
                 tp = match_predictions(pb, pc, r.boxes, r.cls.astype(np.float32))
                 metrics.update(tp, ps, pc, r.cls.astype(np.float32))
+                if pose_metrics is not None and _extra:
+                    from tamtr_tpu.utils.metrics import oks_np
+
+                    from tamtr_tpu.losses.v8_pose_loss import OKS_SIGMA
+
+                    pk = _extra[0][k][sel]  # (n, nk, 3) at imgsz scale
+                    # scale to native pixels (stretch)
+                    pk = pk.copy()
+                    pk[..., 0] *= ow / cfg.imgsz
+                    pk[..., 1] *= oh / cfg.imgsz
+                    gk = r.keypoints if r.keypoints is not None else np.zeros((0, 17, 3), np.float32)
+                    areas = np.clip(
+                        (r.boxes[:, 2] - r.boxes[:, 0]) * (r.boxes[:, 3] - r.boxes[:, 1]), 1, None
+                    )
+                    nk = gk.shape[1] if len(gk) else 17
+                    sig = np.asarray(OKS_SIGMA)[:nk] if nk == 17 else np.full(nk, 1.0 / nk)
+                    oks = oks_np(gk, pk, areas, sig) if len(gk) and len(pk) else None
+                    tp_k = match_predictions(
+                        pb, pc, r.boxes, r.cls.astype(np.float32), iou=oks
+                    ) if oks is not None else np.zeros((len(pc), 10), bool)
+                    pose_metrics.update(tp_k, ps, pc, r.cls.astype(np.float32))
                 if mask_metrics is not None and _extra:
                     import cv2
 
@@ -411,6 +438,10 @@ class Engine:
             mres = mask_metrics.compute()
             res["mask_mAP50"] = mres["mAP50"]
             res["mask_mAP50-95"] = mres["mAP50-95"]
+        if pose_metrics is not None:
+            pres = pose_metrics.compute()
+            res["pose_mAP50"] = pres["mAP50"]
+            res["pose_mAP50-95"] = pres["mAP50-95"]
         res["images_per_sec"] = n / max(time.time() - t0, 1e-9)
         LOGGER.info(
             f"val: mAP50={res['mAP50']:.4f} mAP50-95={res['mAP50-95']:.4f} "

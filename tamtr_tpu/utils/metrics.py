@@ -37,6 +37,22 @@ def mask_iou_np(gt_masks: np.ndarray, pred_masks: np.ndarray, eps: float = 1e-7)
     return inter / (union + eps)
 
 
+def oks_np(
+    gt_kpts: np.ndarray,
+    pred_kpts: np.ndarray,
+    gt_areas: np.ndarray,
+    sigmas: np.ndarray,
+    eps: float = 1e-7,
+) -> np.ndarray:
+    """Object-keypoint-similarity matrix (reference `kpt_iou`):
+    gt (M, nk, 3), pred (N, nk, >=2), areas (M,) -> (M, N)."""
+    d2 = ((gt_kpts[:, None, :, :2] - pred_kpts[None, :, :, :2]) ** 2).sum(-1)  # (M,N,nk)
+    vis = (gt_kpts[:, None, :, 2] > 0).astype(np.float32)
+    e = d2 / (2.0 * (gt_areas[:, None, None] + eps) * (sigmas[None, None] ** 2) * 2.0)
+    oks = (np.exp(-e) * vis).sum(-1) / np.maximum(vis.sum(-1), eps)
+    return oks
+
+
 def match_predictions(
     pred_boxes: np.ndarray,
     pred_cls: np.ndarray,

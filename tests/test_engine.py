@@ -108,3 +108,36 @@ def test_engine_segment_task(tmp_path):
         conf=0.01,
     )
     assert "mask_mAP50" in res and np.isfinite(res["mask_mAP50"])
+
+
+def test_engine_pose_task(tmp_path):
+    """Pose model trains + validates (OKS mAP) through the engine."""
+    import cv2
+    import yaml as _yaml
+
+    from tamtr_tpu.engine.model import Engine
+
+    root = tmp_path / "posedata"
+    kpts = " ".join("0.5 0.5 2" for _ in range(17))
+    for split in ("train", "val"):
+        (root / split / "images").mkdir(parents=True)
+        (root / split / "labels").mkdir(parents=True)
+        rng2 = np.random.default_rng(1)
+        for i in range(2):
+            img = rng2.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+            cv2.imwrite(str(root / split / "images" / f"im{i}.jpg"), img)
+            (root / split / "labels" / f"im{i}.txt").write_text(
+                f"0 0.5 0.5 0.4 0.4 {kpts}"
+            )
+    yml = root / "data.yaml"
+    yml.write_text(_yaml.safe_dump({
+        "path": str(root), "train": "train/images", "val": "val/images",
+        "nc": 1, "names": {0: "person"},
+    }))
+    eng = Engine("yolo-pose-gelan.yaml")
+    res = eng.train(
+        data=str(yml), imgsz=64, epochs=1, batch=2, workers=1, max_gt=4,
+        warmup_epochs=2, project=str(tmp_path / "runs"), val=True, save=False,
+        conf=0.01,
+    )
+    assert "pose_mAP50" in res and np.isfinite(res["pose_mAP50"])
