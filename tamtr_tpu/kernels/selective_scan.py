@@ -216,6 +216,29 @@ def _hs_scan(a, b, axis: int, reverse: bool):
     return a, b
 
 
+def _seq_prefix_T(a4, b4, reverse: bool):
+    """Work-efficient inner scan: static unroll over the T axis (axis 1).
+
+    Each step touches one (R, N, D) slice, so total arithmetic is ~4 ops per
+    element instead of Hillis-Steele's log2(T) dense rounds. T is small (16)
+    so the 16-step serialization is cheap relative to the vector width.
+    """
+    T = a4.shape[1]
+    sl = lambda x, t: jax.lax.slice_in_dim(x, t, t + 1, axis=1)
+    order = range(T - 1, -1, -1) if reverse else range(T)
+    a_out, b_out = [None] * T, [None] * T
+    prev_a = prev_b = None
+    for t in order:
+        at, bt = sl(a4, t), sl(b4, t)
+        if prev_a is None:
+            a_out[t], b_out[t] = at, bt
+        else:
+            a_out[t] = at * prev_a
+            b_out[t] = bt + at * prev_b
+        prev_a, prev_b = a_out[t], b_out[t]
+    return jnp.concatenate(a_out, axis=1), jnp.concatenate(b_out, axis=1)
+
+
 def _chunk_scan_two_level(a, b, reverse: bool, T: int = 16):
     """Two-level scan of an (S, N, D) chunk: Hillis-Steele within T-wide
     sub-chunks (log2(T) rounds over the full tensor) + a scan over the S/T
@@ -233,7 +256,7 @@ def _chunk_scan_two_level(a, b, reverse: bool, T: int = 16):
     R = S // T
     a4 = a.reshape(R, T, N, D)
     b4 = b.reshape(R, T, N, D)
-    A_in, B_in = _hs_scan(a4, b4, 1, reverse)  # within sub-chunks
+    A_in, B_in = _seq_prefix_T(a4, b4, reverse)  # within sub-chunks
     edge = 0 if reverse else T - 1
     a_s = A_in[:, edge]  # (R, N, D) sub-chunk summaries
     b_s = B_in[:, edge]
