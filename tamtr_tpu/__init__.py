@@ -15,6 +15,23 @@ Public API mirrors the reference's `RTDETRWorld` facade:
 
 __version__ = "0.1.0"
 
-from tamtr_tpu.api import TAMTR  # noqa: E402,F401
+from tamtr_tpu.api import (  # noqa: E402,F401
+    FastSAM,
+    NAS,
+    RTDETR,
+    RTDETRWorld,
+    SAM,
+    TAMTR,
+    YOLO,
+)
 
-__all__ = ["TAMTR", "__version__"]
+__all__ = [
+    "TAMTR",
+    "RTDETRWorld",
+    "YOLO",
+    "RTDETR",
+    "SAM",
+    "FastSAM",
+    "NAS",
+    "__version__",
+]

@@ -1,7 +1,11 @@
-"""Public model facade (the reference's `RTDETRWorld`).
+"""Public model facades.
 
-Routes train/val/predict to the engine components. Fleshed out as the engine
-lands; importable from day one so `from tamtr_tpu import TAMTR` always works.
+The reference exposes one facade class per model family
+(`ultralytics/__init__.py`: `RTDETRWorld`, `YOLO`, `RTDETR`, `SAM`,
+`FastSAM`, `NAS`); each routes train/val/predict/export through `task_map`.
+Here every detection-family facade shares the one JAX `Engine` (the model
+graph comes from the family's YAML), while `SAM`/`FastSAM` wrap the
+promptable-segmentation predictors.
 """
 
 from __future__ import annotations
@@ -49,3 +53,146 @@ class TAMTR:
     def set_classes(self, classes, embeddings=None):
         """Open-vocabulary retarget: supply class names (+ precomputed text embeddings)."""
         return self._lazy_engine().set_classes(classes, embeddings)
+
+
+class YOLO(TAMTR):
+    """YOLO detect/segment/pose/classify facade (reference `models/yolo/model.py`).
+
+    The task is carried by the model YAML: `yolo-gelan.yaml` (detect),
+    `yolo-seg-gelan.yaml` (segment), `yolo-pose-gelan.yaml` (pose),
+    `classify-gelan.yaml` (classify).
+    """
+
+    def __init__(self, model: str = "yolo-gelan.yaml", task: Optional[str] = None) -> None:
+        stem = str(model).lower()
+        if task is None:
+            if "seg" in stem:
+                task = "segment"
+            elif "pose" in stem:
+                task = "pose"
+            elif "classify" in stem or "cls" in stem:
+                task = "classify"
+            else:
+                task = "detect"
+        super().__init__(model, task)
+
+
+class RTDETR(TAMTR):
+    """Text-free RT-DETR facade (reference `models/rtdetr/model.py`)."""
+
+    def __init__(self, model: str = "rtdetr.yaml") -> None:
+        super().__init__(model, "detect")
+
+
+class SAM:
+    """Promptable Segment Anything facade (reference `models/sam/model.py`).
+
+    Usage:
+        sam = SAM("mobile_sam")          # or sam_b / sam_l / sam_h
+        results = sam("img.jpg", bboxes=[x1, y1, x2, y2])
+        results = sam("img.jpg", points=[[x, y]], labels=[1])
+        results = sam("img.jpg")          # segment everything
+    """
+
+    def __init__(self, model: str = "mobile_sam") -> None:
+        self.model_name = model
+        self._predictor = None
+
+    @property
+    def predictor(self):
+        if self._predictor is None:
+            from tamtr_tpu.models.sam import SAMPredictor
+
+            self._predictor = SAMPredictor(self.model_name)
+        return self._predictor
+
+    def __call__(self, source: Any = None, **kwargs: Any):
+        return self.predict(source, **kwargs)
+
+    def predict(self, source: Any = None, bboxes=None, points=None, labels=None, **kwargs: Any):
+        """Run promptable (given prompts) or automatic segmentation."""
+        return self.predictor(source, bboxes=bboxes, points=points, labels=labels, **kwargs)
+
+    def info(self) -> str:
+        """One-line model description (reference `SAM.info`)."""
+        import jax
+
+        p = self.predictor
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(p.sam.variables))
+        return f"SAM({self.model_name}): {n_params / 1e6:.1f}M params, imgsz={p.imgsz}"
+
+    @property
+    def task_map(self):
+        from tamtr_tpu.models.sam import SAMPredictor
+
+        return {"segment": {"predictor": SAMPredictor}}
+
+
+class FastSAM(YOLO):
+    """FastSAM facade: YOLO-seg "segment everything" + prompt post-selection
+    (reference `models/fastsam/model.py`). Predict returns all-instance masks;
+    `prompt()` selects by box/point/text against a `Results`.
+    """
+
+    def __init__(self, model: str = "yolo-seg-gelan.yaml") -> None:
+        super().__init__(model, task="segment")
+
+    @staticmethod
+    def prompt(result, bboxes=None, points=None, labels=None, texts=None, embed_fn=None):
+        """Post-hoc prompt selection on a predict() result (reference `fastsam/prompt.py`)."""
+        from tamtr_tpu.models.fastsam import FastSAMPrompt
+
+        p = FastSAMPrompt(result)
+        if bboxes is not None:
+            return p.box_prompt(bboxes)
+        if points is not None:
+            return p.point_prompt(points, labels)
+        if texts is not None:
+            return p.text_prompt(texts, embed_fn=embed_fn)
+        return p.everything()
+
+
+class NAS:
+    """Pretrained-weights-only detection facade (reference `models/nas/model.py`).
+
+    The reference wraps super-gradients YOLO-NAS checkpoints for predict/val
+    only (train is unsupported, YAML construction is rejected). The TPU
+    equivalent wraps any trained tamtr_tpu detection checkpoint the same way.
+    """
+
+    def __init__(self, model: str = "yolo_nas.ckpt") -> None:
+        from pathlib import Path
+
+        assert Path(model).suffix not in (".yaml", ".yml"), (
+            "NAS models only support pre-trained weights, not YAML configs."
+        )
+        self.weights = model
+        self._engine = None
+
+    def _lazy_engine(self):
+        if self._engine is None:
+            from tamtr_tpu.engine.model import Engine
+
+            self._engine = Engine("yolo-gelan.yaml")
+            self._engine.load(self.weights)
+        return self._engine
+
+    def predict(self, source: Any = None, **kwargs: Any):
+        return self._lazy_engine().predict(source, **kwargs)
+
+    def __call__(self, source: Any = None, **kwargs: Any):
+        return self.predict(source, **kwargs)
+
+    def val(self, **kwargs: Any):
+        return self._lazy_engine().val(**kwargs)
+
+    def train(self, **kwargs: Any):
+        raise NotImplementedError("NAS models only support predict/val (reference parity).")
+
+    def info(self) -> str:
+        eng = self._lazy_engine()
+        return f"NAS({self.weights}): nc={len(eng.names)}"
+
+
+# Reference import-surface alias: `from ultralytics import RTDETRWorld`.
+RTDETRWorld = TAMTR
