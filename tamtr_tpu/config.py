@@ -79,6 +79,9 @@ class Config:
     line_width: Optional[int] = None
     visualize: bool = False
     augment: bool = False
+    # deploy-time RepConvN fusion for inference (reference `fuse()` /
+    # `switch_to_deploy`); params transformed via tamtr_tpu.nn.fuse
+    fuse: bool = False
     agnostic_nms: bool = False
     classes: Optional[List[int]] = None
     retina_masks: bool = False

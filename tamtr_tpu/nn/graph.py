@@ -101,13 +101,13 @@ def _make_divisible(x, divisor):
     return math.ceil(x / divisor) * divisor
 
 
-def _build_module(m: str, args: Tuple, name: str):
+def _build_module(m: str, args: Tuple, name: str, deploy: bool = False):
     if m == "Conv":
         c2, k, s = (list(args) + [1, 1])[:3]
         return L.ConvBN(c2, k, s, name=name)
     if m == "RepNCSPELAN4":
         c2, c3, c4, n = args
-        return L.RepNCSPELAN4(c2, c3, c4, n, name=name)
+        return L.RepNCSPELAN4(c2, c3, c4, n, deploy=deploy, name=name)
     if m == "SPPELAN":
         c2, c3 = args
         return L.SPPELAN(c2, c3, name=name)
@@ -115,7 +115,7 @@ def _build_module(m: str, args: Tuple, name: str):
         return L.ADown(args[0], name=name)
     if m == "TIAGELAN":
         c2, c3, c4, n, nh = args
-        return L.TIAGELAN(c2, c3, c4, n, nh, name=name)
+        return L.TIAGELAN(c2, c3, c4, n, nh, deploy=deploy, name=name)
     if m == "CPAM":
         return L.CPAM(name=name)
     if m == "Concat":
@@ -145,6 +145,9 @@ class TAMTRModel(nn.Module):
     max_gt: int = 128
     scan_chunk: int = 128
     wire_text_attn: bool = False
+    # deploy=True switches RepConvN blocks to their fused single-conv form
+    # (params from `tamtr_tpu.nn.fuse.fuse_repconv_variables`)
+    deploy: bool = False
     # compute dtype for convs/attention; BN stats, the selective scan, and
     # the loss stay fp32 (the reference trains amp=False — bf16 here is a
     # TPU-native speed option, off by default)
@@ -181,7 +184,9 @@ class TAMTRModel(nn.Module):
                 inp = x
             else:
                 inp = y[f]
-            mod = _build_module(m, args, name=f"m{idx}_{m.replace('.', '_')}")
+            mod = _build_module(
+                m, args, name=f"m{idx}_{m.replace('.', '_')}", deploy=self.deploy
+            )
             if m == "TIAGELAN":
                 x = mod(inp, txt_feats, train)
             else:

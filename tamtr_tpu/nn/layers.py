@@ -97,10 +97,19 @@ class RepConvN(nn.Module):
     k: int = 3
     s: int = 1
     act: bool = True
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         assert self.k == 3
+        if self.deploy:
+            # single fused conv (reference `switch_to_deploy`, block.py:103-126);
+            # params produced by `tamtr_tpu.nn.fuse.fuse_repconv_variables`
+            y = nn.Conv(
+                self.c2, (3, 3), strides=(self.s, self.s),
+                padding=[(1, 1), (1, 1)], use_bias=True, name="fused",
+            )(x)
+            return nn.silu(y) if self.act else y
         y1 = ConvBN(self.c2, 3, self.s, p=1, act=False, name="conv1")(x, train)
         y2 = ConvBN(self.c2, 1, self.s, p=0, act=False, name="conv2")(x, train)
         y = y1 + y2
@@ -113,11 +122,12 @@ class RepNBottleneck(nn.Module):
     c2: int
     shortcut: bool = True
     e: float = 0.5
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c_ = int(self.c2 * self.e)
-        y = RepConvN(c_, 3, 1, name="cv1")(x, train)
+        y = RepConvN(c_, 3, 1, deploy=self.deploy, name="cv1")(x, train)
         y = ConvBN(self.c2, 3, 1, name="cv2")(y, train)
         return x + y if (self.shortcut and x.shape[-1] == self.c2) else y
 
@@ -129,13 +139,16 @@ class RepNCSP(nn.Module):
     n: int = 1
     shortcut: bool = True
     e: float = 0.5
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c_ = int(self.c2 * self.e)
         y1 = ConvBN(c_, 1, 1, name="cv1")(x, train)
         for i in range(self.n):
-            y1 = RepNBottleneck(c_, self.shortcut, e=1.0, name=f"m{i}")(y1, train)
+            y1 = RepNBottleneck(
+                c_, self.shortcut, e=1.0, deploy=self.deploy, name=f"m{i}"
+            )(y1, train)
         y2 = ConvBN(c_, 1, 1, name="cv2")(x, train)
         return ConvBN(self.c2, 1, 1, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
 
@@ -147,14 +160,15 @@ class RepNCSPELAN4(nn.Module):
     c3: int
     c4: int
     n: int = 1
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         y = ConvBN(self.c3, 1, 1, name="cv1")(x, train)
         y1, y2 = jnp.split(y, 2, axis=-1)
-        y3 = RepNCSP(self.c4, self.n, name="cv2_csp")(y2, train)
+        y3 = RepNCSP(self.c4, self.n, deploy=self.deploy, name="cv2_csp")(y2, train)
         y3 = ConvBN(self.c4, 3, 1, name="cv2_conv")(y3, train)
-        y4 = RepNCSP(self.c4, self.n, name="cv3_csp")(y3, train)
+        y4 = RepNCSP(self.c4, self.n, deploy=self.deploy, name="cv3_csp")(y3, train)
         y4 = ConvBN(self.c4, 3, 1, name="cv3_conv")(y4, train)
         return ConvBN(self.c2, 1, 1, name="cv4")(jnp.concatenate([y1, y2, y3, y4], axis=-1), train)
 
@@ -208,14 +222,15 @@ class TIAGELAN(nn.Module):
     nh: int = 8
     wire_text_attn: bool = False
     keep_attn_params: bool = True
+    deploy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, guide: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         y = ConvBN(self.c3, 1, 1, name="cv1")(x, train)
         y1, y2 = jnp.split(y, 2, axis=-1)
-        y3 = RepNCSP(self.c4, self.n, name="cv2_csp")(y2, train)
+        y3 = RepNCSP(self.c4, self.n, deploy=self.deploy, name="cv2_csp")(y2, train)
         y3 = ConvBN(self.c4, 3, 1, name="cv2_conv")(y3, train)
-        y4 = RepNCSP(self.c4, self.n, name="cv3_csp")(y3, train)
+        y4 = RepNCSP(self.c4, self.n, deploy=self.deploy, name="cv3_csp")(y3, train)
         y4 = ConvBN(self.c4, 3, 1, name="cv3_conv")(y4, train)
         if self.wire_text_attn:
             y2 = MaxSigmoidAttnBlock(self.c4, nh=self.nh, ec=self.c4, name="attn")(y2, guide, train)
