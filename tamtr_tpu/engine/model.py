@@ -81,6 +81,35 @@ class Engine:
         self.names = data["names"]
         self.txt_feats = class_text_embeddings(self.names, npz_path=cfg.text_embeddings)
 
+        if cfg.batch == -1:
+            # reference `autobatch` semantics (batch=-1 => fit to memory);
+            # exact via XLA compile-time memory analysis, no trial OOMs
+            from tamtr_tpu.utils.autobatch import autobatch
+
+            probe = TAMTRModel.from_yaml(self.model_cfg, nc=nc, max_gt=cfg.max_gt)
+            pvars = jax.eval_shape(
+                lambda: probe.init(
+                    {"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((1, cfg.imgsz, cfg.imgsz, 3)),
+                    jnp.zeros((1, max(nc, 1), 512)),
+                    None,
+                    False,
+                )
+            )
+
+            def fwd(v, img, txt):
+                return probe.apply(v, img, txt, None, False)
+
+            sds = lambda sh: jax.ShapeDtypeStruct(sh, jnp.float32)
+            cfg.batch = autobatch(
+                fwd,
+                lambda b: (
+                    pvars,
+                    sds((b, cfg.imgsz, cfg.imgsz, 3)),
+                    sds((b, max(nc, 1), 512)),
+                ),
+                default=4,
+            )
         n_avail = len(jax.devices())
         n_dev = cfg.n_devices or max(
             d for d in range(1, n_avail + 1) if cfg.batch % d == 0
@@ -235,9 +264,13 @@ class Engine:
                         "max_gt": cfg.max_gt,
                     }
                     save_checkpoint(run_dir / "weights" / "last", state, meta)
-                    if fitness >= best_fitness:
+                    is_best = fitness >= best_fitness
+                    if is_best:
                         best_fitness = fitness
                         save_checkpoint(run_dir / "weights" / "best", state, meta)
+                    self.callbacks.fire(
+                        "on_model_save", self, epoch, run_dir / "weights" / "last", is_best
+                    )
                 if stopper(epoch, fitness):
                     LOGGER.info(f"early stopping at epoch {epoch + 1}")
                     self._append_csv(csv_path, row)
@@ -283,6 +316,23 @@ class Engine:
             if self.state is None:
                 raise RuntimeError("no weights loaded; train first or load a checkpoint")
         return self._validate(self.model, self.state, data, cfg, use_ema=True)
+
+    def _deploy_model_and_vars(self, model, variables):
+        """RepConvN-fused (deploy) twin of `model` + transformed variables.
+
+        Cached per (state, cfg) so the jitted eval step (keyed on id(model))
+        is not retraced every call.
+        """
+        key = (id(self.state), self.model_cfg, id(model))
+        cached = getattr(self, "_fused_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2]
+        from tamtr_tpu.nn.fuse import fuse_repconv_variables
+
+        deploy = model.clone(deploy=True)
+        fused = fuse_repconv_variables(jax.device_get(variables))
+        self._fused_cache = (key, deploy, fused)
+        return deploy, fused
 
     def _get_eval_step(self, model, conf, iou, max_det, imgsz):
         """Jitted eval step, cached per (conf, iou, max_det, imgsz) — a fresh
@@ -330,6 +380,8 @@ class Engine:
             "params": state.ema_params if use_ema else state.params,
             "batch_stats": state.ema_batch_stats if use_ema else state.batch_stats,
         }
+        if cfg.fuse:
+            model, variables = self._deploy_model_and_vars(model, variables)
         conf = cfg.conf if cfg.conf is not None else 0.4
 
         eval_step = self._get_eval_step(model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
@@ -337,6 +389,11 @@ class Engine:
         metrics = DetMetrics()
         mask_metrics = DetMetrics() if task == "segment" else None
         pose_metrics = DetMetrics() if task == "pose" else None
+        confusion = None
+        if cfg.plots:
+            from tamtr_tpu.utils.metrics import ConfusionMatrix
+
+            confusion = ConfusionMatrix(len(self.names) or model.nc, conf=conf)
         bs = max(cfg.batch, 1)
         txt_all = jnp.asarray(self.txt_feats[None])
         n = len(ds)
@@ -377,6 +434,8 @@ class Engine:
                 ps = scores[k][sel]
                 tp = match_predictions(pb, pc, r.boxes, r.cls.astype(np.float32))
                 metrics.update(tp, ps, pc, r.cls.astype(np.float32))
+                if confusion is not None:
+                    confusion.process_batch(pb, ps, pc.astype(np.int64), r.boxes, r.cls)
                 if pose_metrics is not None and _extra:
                     from tamtr_tpu.utils.metrics import oks_np
 
@@ -442,6 +501,10 @@ class Engine:
             pres = pose_metrics.compute()
             res["pose_mAP50"] = pres["mAP50"]
             res["pose_mAP50-95"] = pres["mAP50-95"]
+        if confusion is not None:
+            out_dir = Path(cfg.project or "runs")
+            out_dir.mkdir(parents=True, exist_ok=True)
+            confusion.plot(out_dir / "confusion_matrix.png", names=self.names)
         res["images_per_sec"] = n / max(time.time() - t0, 1e-9)
         LOGGER.info(
             f"val: mAP50={res['mAP50']:.4f} mAP50-95={res['mAP50-95']:.4f} "
@@ -466,8 +529,11 @@ class Engine:
         else:
             paths = list(source)
         variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
+        pred_model = self.model
+        if cfg.fuse:
+            pred_model, variables = self._deploy_model_and_vars(self.model, variables)
         conf = cfg.conf if cfg.conf is not None else 0.25
-        eval_step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
+        eval_step = self._get_eval_step(pred_model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
 
         from tamtr_tpu.engine.results import Results
 
@@ -493,7 +559,7 @@ class Engine:
                 img = cv2.resize(im0, (sz, sz))[..., ::-1].astype(np.float32) / 255.0
                 if flip:
                     img = img[:, ::-1]
-                step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, sz)
+                step = self._get_eval_step(pred_model, conf, cfg.iou, cfg.max_det, sz)
                 boxes, scores, labels, valid, *extra = jax.device_get(
                     step(variables, jnp.asarray(np.ascontiguousarray(img)[None]), txt)
                 )

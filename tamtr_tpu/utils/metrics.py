@@ -172,3 +172,106 @@ class DetMetrics:
             "recall": float(res["recall"].mean()),
             "fitness": 0.1 * map50 + 0.9 * map5095,
         }
+
+
+class ConfusionMatrix:
+    """Detection / classification confusion matrix (reference
+    `utils/metrics.py:801-940`).
+
+    Detect: an (nc+1, nc+1) matrix indexed [predicted, actual]; the extra
+    row/column is background (FP row nc->gt, FN column pred->nc). Matching
+    uses a single IoU threshold (0.45) with greedy unique assignment;
+    detections below `conf` 0.25 are ignored.
+    """
+
+    def __init__(self, nc: int, conf: float = 0.25, iou_thres: float = 0.45,
+                 task: str = "detect") -> None:
+        self.nc = nc
+        self.conf = 0.25 if conf in (None, 0.001) else conf
+        self.iou_thres = iou_thres
+        self.task = task
+        n = nc + 1 if task == "detect" else nc
+        self.matrix = np.zeros((n, n), dtype=np.int64)
+
+    def process_cls_preds(self, preds, targets) -> None:
+        """Classification: preds/targets are int class arrays."""
+        for p, t in zip(np.asarray(preds).ravel(), np.asarray(targets).ravel()):
+            self.matrix[int(p), int(t)] += 1
+
+    def process_batch(
+        self,
+        pred_boxes: np.ndarray,
+        pred_conf: np.ndarray,
+        pred_cls: np.ndarray,
+        gt_boxes: np.ndarray,
+        gt_cls: np.ndarray,
+    ) -> None:
+        """One image. Boxes xyxy; gt_cls int."""
+        gt_cls = np.asarray(gt_cls, np.int64).ravel()
+        if len(gt_cls) == 0:
+            if pred_boxes is not None and len(pred_boxes):
+                keep = pred_conf >= self.conf
+                for c in np.asarray(pred_cls)[keep].astype(np.int64):
+                    self.matrix[c, self.nc] += 1  # false positive
+            return
+        if pred_boxes is None or len(pred_boxes) == 0:
+            for c in gt_cls:
+                self.matrix[self.nc, c] += 1  # false negative (background pred)
+            return
+        keep = np.asarray(pred_conf) >= self.conf
+        pred_boxes = np.asarray(pred_boxes)[keep]
+        pred_cls = np.asarray(pred_cls, np.int64)[keep]
+        iou = box_iou_np(np.asarray(gt_boxes), pred_boxes)
+        gi, pi = np.nonzero(iou >= self.iou_thres)
+        if len(gi):
+            m = np.stack([gi, pi, iou[gi, pi]], 1)
+            m = m[m[:, 2].argsort()[::-1]]
+            m = m[np.unique(m[:, 1], return_index=True)[1]]
+            m = m[m[:, 2].argsort()[::-1]]
+            m = m[np.unique(m[:, 0], return_index=True)[1]]
+        else:
+            m = np.zeros((0, 3))
+        matched_gt = m[:, 0].astype(int)
+        matched_pred = m[:, 1].astype(int)
+        for g, p in zip(matched_gt, matched_pred):
+            self.matrix[pred_cls[p], gt_cls[g]] += 1
+        for g in range(len(gt_cls)):
+            if g not in matched_gt:
+                self.matrix[self.nc, gt_cls[g]] += 1
+        for p in range(len(pred_cls)):
+            if p not in matched_pred:
+                self.matrix[pred_cls[p], self.nc] += 1
+
+    def tp_fp(self):
+        """Per-class (tp, fp) from the matrix (reference `:900-906`)."""
+        tp = self.matrix.diagonal()
+        fp = self.matrix.sum(1) - tp
+        if self.task == "detect":
+            return tp[:-1], fp[:-1]
+        return tp, fp
+
+    def plot(self, save_path=None, names=()):
+        """Render with matplotlib if available; returns the figure or None."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        n = self.matrix.shape[0]
+        fig, ax = plt.subplots(figsize=(max(6, n * 0.5),) * 2, tight_layout=True)
+        denom = self.matrix.sum(0, keepdims=True)
+        norm = self.matrix / np.maximum(denom, 1)
+        im = ax.imshow(norm, cmap="Blues", vmin=0.0, vmax=1.0)
+        fig.colorbar(im)
+        labels = list(names) + (["background"] if self.task == "detect" else [])
+        if len(labels) == n:
+            ax.set_xticks(range(n), labels, rotation=90, fontsize=8)
+            ax.set_yticks(range(n), labels, fontsize=8)
+        ax.set_xlabel("True")
+        ax.set_ylabel("Predicted")
+        if save_path:
+            fig.savefig(save_path, dpi=150)
+            plt.close(fig)
+        return fig

@@ -97,3 +97,34 @@ def test_match_predictions_one_gt_one_match():
     cls = np.array([0, 0])
     tp = match_predictions(preds, cls, gt, np.array([0]))
     assert tp[0, 0] and not tp[1, 0]
+
+
+def test_confusion_matrix_detect():
+    from tamtr_tpu.utils.metrics import ConfusionMatrix
+
+    cm = ConfusionMatrix(nc=3, conf=0.25, iou_thres=0.45)
+    gt_boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    gt_cls = np.array([0, 1])
+    # one TP (cls 0), one misclass (cls 2 on the cls-1 gt), one FP far away
+    pred_boxes = np.array(
+        [[0, 0, 10, 10], [20, 20, 30, 30], [50, 50, 60, 60]], np.float32
+    )
+    cm.process_batch(pred_boxes, np.array([0.9, 0.8, 0.7]), np.array([0, 2, 1]),
+                     gt_boxes, gt_cls)
+    assert cm.matrix[0, 0] == 1          # true positive
+    assert cm.matrix[2, 1] == 1          # misclassification
+    assert cm.matrix[1, 3] == 1          # FP -> background column
+    # empty preds: all gt become FN
+    cm2 = ConfusionMatrix(nc=3)
+    cm2.process_batch(None, None, None, gt_boxes, gt_cls)
+    assert cm2.matrix[3, 0] == 1 and cm2.matrix[3, 1] == 1
+    tp, fp = cm.tp_fp()
+    assert tp.tolist() == [1, 0, 0] and fp.tolist() == [0, 1, 1]
+
+
+def test_confusion_matrix_classify():
+    from tamtr_tpu.utils.metrics import ConfusionMatrix
+
+    cm = ConfusionMatrix(nc=2, task="classify")
+    cm.process_cls_preds([0, 1, 1], [0, 1, 0])
+    assert cm.matrix[0, 0] == 1 and cm.matrix[1, 1] == 1 and cm.matrix[1, 0] == 1

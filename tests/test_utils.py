@@ -202,3 +202,34 @@ def test_fastsam_prompts(tmp_path, rng):
     # text prompt picks by class-name similarity
     m = fp.text_prompt("dog")
     assert m[48, 48] and not m[16, 16]
+
+
+def test_hub_session(tmp_path):
+    """HUB-parity session: heartbeat file, metric log, checkpoint copy."""
+    import json, time
+
+    from tamtr_tpu.hub import Auth, LocalBackend, TrainingSession
+
+    backend = LocalBackend(root=str(tmp_path))
+    s = TrainingSession("exp1", auth=Auth("k"), backend=backend, heartbeat_interval=0.1)
+    s.start_heartbeat()
+    time.sleep(0.3)
+    s.upload_metrics(1, {"loss": 0.5})
+    s.upload_metrics(2, {"loss": 0.4})
+    ckpt = tmp_path / "ck.npz"
+    ckpt.write_bytes(b"x")
+    s.upload_model(3, str(ckpt), is_best=True)
+    s.stop()
+    status = json.loads((tmp_path / "exp1" / "status.json").read_text())
+    assert status["alive"] is False
+    lines = (tmp_path / "exp1" / "metrics.jsonl").read_text().strip().splitlines()
+    assert json.loads(lines[0])["step"] == 1 and json.loads(lines[-1])["step"] == 2
+    assert (tmp_path / "exp1" / "weights" / "best.npz").exists()
+    assert Auth("").authenticated is False
+
+
+def test_autobatch_cpu_fallback():
+    """On CPU (no memory stats) autobatch returns the default."""
+    from tamtr_tpu.utils.autobatch import autobatch
+
+    assert autobatch(lambda x: x, lambda b: (b,), default=4) == 4
