@@ -54,17 +54,32 @@ def main() -> None:
 
     variables = jax.jit(init)(jax.random.PRNGKey(0), imgs[0], txt)
 
-    @jax.jit
     def fwd(variables, img, txt):
         return model.apply(variables, img, txt, None, False)["pred"]
 
-    jax.device_get(fwd(variables, imgs[0], txt))  # compile + warmup
+    # Chained iterations inside one jit amortize the host<->device dispatch
+    # round-trip (~30 ms under the axon tunnel — a per-call *latency* floor
+    # that would otherwise dominate and measure the tunnel, not the chip).
+    # Each iteration's input depends on the previous output, so no step can
+    # be elided; the single final fetch forces full completion.
+    ITERS = 16
+
+    @jax.jit
+    def chained(variables, img, txt):
+        def body(c, _):
+            pred = fwd(variables, c, txt)
+            # fold the prediction back into the image so steps are dependent
+            bump = jnp.tanh(pred.mean()) * 1e-3
+            return jnp.clip(c + bump, 0.0, 1.0), None
+        out, _ = jax.lax.scan(body, img, None, length=ITERS)
+        return out
+
+    jax.device_get(chained(variables, imgs[0], txt)[0, 0, :2])  # compile + warmup
     best = float("inf")
-    for _rep in range(3):
+    for im in imgs:
         t0 = time.perf_counter()
-        for im in imgs:
-            jax.device_get(fwd(variables, im, txt))
-        best = min(best, (time.perf_counter() - t0) / len(imgs))
+        jax.device_get(chained(variables, im, txt)[0, 0, :2])
+        best = min(best, (time.perf_counter() - t0) / ITERS)
     ips = BATCH / best
 
     print(
