@@ -400,3 +400,121 @@ class Loader:
                 yield futures.pop(bi).result()
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
+
+
+# ---------------------------------------------------------------------------
+# Classification (reference `data/dataset.py:ClassificationDataset` +
+# `check_cls_dataset`, `data/utils.py:402-460`): ImageFolder layout —
+# root/<split>/<class_name>/*.jpg — with light train augmentation.
+# ---------------------------------------------------------------------------
+
+
+class ClassificationDataset:
+    """Folder-per-class image classification dataset."""
+
+    IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+
+    def __init__(
+        self,
+        root: str,
+        imgsz: int = 224,
+        augment: bool = False,
+        scale: Tuple[float, float] = (0.5, 1.0),
+        fliplr: float = 0.5,
+        seed: int = 0,
+    ) -> None:
+        self.root = Path(root)
+        self.imgsz = imgsz
+        self.augment = augment
+        self.scale = scale
+        self.fliplr = fliplr
+        self.seed = seed
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        if not classes:
+            raise FileNotFoundError(f"no class folders under {root}")
+        self.names = classes
+        self.samples: List[Tuple[str, int]] = []
+        for ci, cname in enumerate(classes):
+            for f in sorted((self.root / cname).rglob("*")):
+                if f.suffix.lower() in self.IMG_EXTS:
+                    self.samples.append((str(f), ci))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def get(self, i: int, rng: Optional[np.random.Generator] = None) -> Tuple[np.ndarray, int]:
+        """Returns (img (S, S, 3) float32 RGB in [0,1], class index)."""
+        import cv2
+
+        path, label = self.samples[i]
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        h, w = img.shape[:2]
+        s = self.imgsz
+        if self.augment and rng is not None:
+            # random-resized-crop (area-scale jitter) + horizontal flip
+            area = rng.uniform(*self.scale) * h * w
+            ar = rng.uniform(3 / 4, 4 / 3)
+            cw = int(round(np.sqrt(area * ar)))
+            ch = int(round(np.sqrt(area / ar)))
+            cw, ch = min(cw, w), min(ch, h)
+            x0 = rng.integers(0, w - cw + 1)
+            y0 = rng.integers(0, h - ch + 1)
+            img = img[y0 : y0 + ch, x0 : x0 + cw]
+            img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+            if rng.random() < self.fliplr:
+                img = img[:, ::-1]
+        else:
+            # resize short side then center-crop (torchvision eval convention)
+            r = s / min(h, w)
+            img = cv2.resize(img, (max(s, round(w * r)), max(s, round(h * r))))
+            hh, ww = img.shape[:2]
+            y0, x0 = (hh - s) // 2, (ww - s) // 2
+            img = img[y0 : y0 + s, x0 : x0 + s]
+        return np.ascontiguousarray(img[..., ::-1], np.float32) / 255.0, label
+
+
+class ClassificationLoader:
+    """Batched loader for ClassificationDataset (per-epoch shuffle, host shard)."""
+
+    def __init__(
+        self,
+        dataset: ClassificationDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+    ) -> None:
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pi, self.pc = process_index, process_count
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.pc
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def __iter__(self):
+        idxs = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idxs)
+        idxs = idxs[self.pi :: self.pc]
+        rng = np.random.default_rng(self.seed * 9973 + self._epoch)
+        for s in range(0, len(idxs) - (self.bs - 1 if self.drop_last else 0), self.bs):
+            chunk = idxs[s : s + self.bs]
+            if len(chunk) < self.bs and self.drop_last:
+                break
+            imgs, labels = zip(*(self.ds.get(int(i), rng) for i in chunk))
+            yield {
+                "img": np.stack(imgs),
+                "cls": np.asarray(labels, np.int32)[:, None],
+            }

@@ -76,6 +76,8 @@ class Engine:
         cfg = get_cfg(overrides=overrides)
         self.cfg = cfg
         assert cfg.data, "train requires data=..."
+        if TAMTRModel.from_yaml(self.model_cfg).head_type == "Classify":
+            return self._train_classify(cfg)
         data = load_data_yaml(cfg.data)
         nc = data["nc"]
         self.names = data["names"]
@@ -289,6 +291,178 @@ class Engine:
         self.callbacks.fire("teardown", self)
         return metrics_out
 
+    # -------------------------------------------------------------- classify
+    def _train_classify(self, cfg: Config) -> Dict[str, float]:
+        """Classification training (reference `models/yolo/classify/train.py`):
+        ImageFolder data dir (train/ + val|test/), cross-entropy loss,
+        top-1/top-5 validation, fitness = top-1."""
+        import optax
+
+        from tamtr_tpu.data.dataset import ClassificationDataset, ClassificationLoader
+
+        root = Path(cfg.data)
+        imgsz = cfg.imgsz if cfg.imgsz != 640 else 224  # classify default
+        train_ds = ClassificationDataset(root / "train", imgsz=imgsz, augment=True, seed=cfg.seed)
+        val_dir = next((root / s for s in ("val", "test") if (root / s).is_dir()), None)
+        nc = len(train_ds.names)
+        self.names = train_ds.names
+        self.txt_feats = np.zeros((1, 512), np.float32)
+
+        n_dev = cfg.n_devices or max(
+            d for d in range(1, len(jax.devices()) + 1) if cfg.batch % d == 0
+        )
+        mesh = make_mesh(n_dev)
+        loader = ClassificationLoader(
+            train_ds, cfg.batch, seed=cfg.seed,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        steps_per_epoch = max(len(loader), 1)
+        model = TAMTRModel.from_yaml(self.model_cfg, nc=nc, max_gt=1)
+        self.model = model
+        tc = TrainConfig(
+            lr0=cfg.lr0, lrf=cfg.lrf, momentum=cfg.momentum,
+            weight_decay=cfg.weight_decay, warmup_iters=int(cfg.warmup_epochs),
+            warmup_bias_lr=cfg.warmup_bias_lr, epochs=cfg.epochs,
+            batch_size=cfg.batch, nbs=cfg.nbs,
+        )
+        state, tx = create_train_state(
+            model, jax.random.PRNGKey(cfg.seed), tc,
+            (cfg.batch, imgsz, imgsz, 3), nc, n_text=1,
+            steps_per_epoch=steps_per_epoch, max_gt=1,
+        )
+
+        def ce_loss(outputs, targets):
+            labels = targets["cls"][:, 0]
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                outputs["logits"], labels
+            ).mean()
+            acc = (outputs["logits"].argmax(-1) == labels).mean()
+            return loss, {"cls": loss, "top1": acc}
+
+        step_fn = make_train_step(model, tx, None, tc, loss_callable=ce_loss)
+        repl, bsh = replicated(mesh), batch_sharding(mesh)
+        state = jax.device_put(state, repl)
+        jit_step = jax.jit(
+            step_fn, in_shardings=(repl, bsh, None), out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+        run_dir = Path(cfg.project or "runs/classify") / (cfg.name or "train")
+        run_dir.mkdir(parents=True, exist_ok=True)
+        csv_path = run_dir / "results.csv"
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        stopper = EarlyStopping(cfg.patience)
+        txt = np.zeros((cfg.batch, 1, 512), np.float32)
+        best_fitness = 0.0
+        metrics_out: Dict[str, float] = {}
+        LOGGER.info(f"classify train: nc={nc} imgsz={imgsz} batch={cfg.batch}")
+        self.callbacks.fire("on_train_start", self)
+        for epoch in range(cfg.epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            n_steps = 0
+            m = {"loss": jnp.zeros(())}
+            for batch in loader:
+                host_batch = {
+                    "img": batch["img"],
+                    "txt_feats": txt,
+                    "cls": batch["cls"],
+                    "bboxes": np.zeros((cfg.batch, 1, 4), np.float32),
+                    "mask": np.zeros((cfg.batch, 1), bool),
+                }
+                state, m = jit_step(state, shard_batch(host_batch, mesh), rng)
+                n_steps += 1
+            ips = n_steps * cfg.batch / max(time.time() - t0, 1e-9)
+            row = {"epoch": epoch + 1, "loss": float(m["loss"]), "img_per_sec": ips}
+            LOGGER.info(f"epoch {epoch + 1}/{cfg.epochs}: loss={float(m['loss']):.3f} {ips:.1f} img/s")
+            if cfg.val and val_dir is not None:
+                self.state = state
+                metrics_out = self._validate_classify(model, state, val_dir, cfg, imgsz)
+                row.update(metrics_out)
+                fitness = metrics_out.get("top1", 0.0)
+                if jax.process_index() == 0 and cfg.save:
+                    from tamtr_tpu.engine.checkpoint import save_checkpoint
+
+                    meta = {"epoch": epoch, "nc": nc, "names": self.names,
+                            "model_cfg": str(self.model_cfg), "imgsz": imgsz, "max_gt": 1}
+                    save_checkpoint(run_dir / "weights" / "last", state, meta)
+                    if fitness >= best_fitness:
+                        best_fitness = fitness
+                        save_checkpoint(run_dir / "weights" / "best", state, meta)
+                if stopper(epoch, fitness):
+                    break
+            self._append_csv(csv_path, row)
+            self.callbacks.fire("on_fit_epoch_end", self, epoch, row)
+        self.state = state
+        self.callbacks.fire("on_train_end", self)
+        return metrics_out
+
+    def _validate_classify(self, model, state, val_dir, cfg: Config, imgsz: int) -> Dict[str, float]:
+        """Top-1 / top-5 accuracy (reference `classify/val.py`)."""
+        from tamtr_tpu.data.dataset import ClassificationDataset
+
+        ds = ClassificationDataset(val_dir, imgsz=imgsz, augment=False)
+        variables = {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
+        bs = max(cfg.batch, 1)
+
+        @jax.jit
+        def eval_step(v, img, txt):
+            return model.apply(v, img, txt, None, False)["logits"]
+
+        txt = jnp.zeros((bs, 1, 512), jnp.float32)
+        top1 = top5 = total = 0
+        for s in range(0, len(ds), bs):
+            idxs = list(range(s, min(s + bs, len(ds))))
+            imgs, labels = zip(*(ds.get(i) for i in idxs))
+            imgs = list(imgs)
+            while len(imgs) < bs:
+                imgs.append(np.zeros_like(imgs[0]))
+            logits = np.asarray(eval_step(variables, jnp.asarray(np.stack(imgs)), txt))
+            k = min(5, logits.shape[-1])
+            for j, lab in enumerate(labels):
+                order = np.argsort(-logits[j])
+                top1 += int(order[0] == lab)
+                top5 += int(lab in order[:k])
+                total += 1
+        res = {"top1": top1 / max(total, 1), "top5": top5 / max(total, 1)}
+        LOGGER.info(f"classify val: top1={res['top1']:.4f} top5={res['top5']:.4f} ({total} imgs)")
+        return res
+
+    def _predict_classify(self, source: Any, cfg: Config) -> List[Dict[str, Any]]:
+        """Classification predict: per-image class probabilities + top-5."""
+        from tamtr_tpu.data.loaders import load_inference_source
+
+        imgsz = cfg.imgsz if cfg.imgsz != 640 else 224
+        variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
+        model = self.model
+
+        @jax.jit
+        def eval_step(v, img, txt):
+            return model.apply(v, img, txt, None, False)["pred"]
+
+        txt = jnp.zeros((1, 1, 512), jnp.float32)
+        out = []
+        import cv2
+
+        for name, frame in load_inference_source(source):
+            h, w = frame.shape[:2]
+            r = imgsz / min(h, w)
+            img = cv2.resize(frame, (max(imgsz, round(w * r)), max(imgsz, round(h * r))))
+            hh, ww = img.shape[:2]
+            y0, x0 = (hh - imgsz) // 2, (ww - imgsz) // 2
+            img = img[y0 : y0 + imgsz, x0 : x0 + imgsz][..., ::-1].astype(np.float32) / 255.0
+            probs = np.asarray(eval_step(variables, jnp.asarray(img[None]), txt))[0]
+            top5 = np.argsort(-probs)[:5]
+            out.append(
+                {
+                    "path": name,
+                    "probs": probs,
+                    "top5": top5,
+                    "top5_conf": probs[top5],
+                    "names": [self.names[i] if i < len(self.names) else str(i) for i in top5],
+                }
+            )
+        return out
+
     def export(self, fmt: str = "orbax", out_dir: str = "runs/export", imgsz: int = 640):
         """Export trained (EMA) weights (reference `Exporter`)."""
         from tamtr_tpu.engine.exporter import export_model
@@ -306,6 +480,13 @@ class Engine:
     def val(self, **overrides: Any) -> Dict[str, float]:
         cfg = get_cfg(self.cfg, overrides=overrides)
         assert cfg.data, "val requires data=..."
+        if self.model is not None and self.model.head_type == "Classify":
+            root = Path(cfg.data)
+            val_dir = next(
+                (root / s for s in ("val", "test") if (root / s).is_dir()), root
+            )
+            imgsz = cfg.imgsz if cfg.imgsz != 640 else 224
+            return self._validate_classify(self.model, self.state, val_dir, cfg, imgsz)
         data = load_data_yaml(cfg.data)
         if self.model is None:
             self.names = data["names"]
@@ -518,6 +699,8 @@ class Engine:
         import cv2
 
         assert self.model is not None and self.state is not None, "load/train a model first"
+        if self.model.head_type == "Classify":
+            return self._predict_classify(source, cfg)
         paths: List[str]
         if isinstance(source, (str, Path)):
             p = Path(source)
