@@ -378,7 +378,7 @@ class Loader:
             rng.shuffle(idxs)
         idxs = idxs[self.pi :: self.pc]  # per-host shard
         n_batches = len(self)
-        pool = ThreadPoolExecutor(max_workers=self.workers)
+        pool = ThreadPoolExecutor(max_workers=max(self.workers, 1))
         try:
             def make_batch(bi):
                 batch_idx = idxs[bi * self.bs : (bi + 1) * self.bs]

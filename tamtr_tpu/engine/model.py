@@ -194,7 +194,12 @@ class Engine:
         )
 
         run_dir = Path(cfg.project or "runs/detect") / (cfg.name or "train")
+        if not cfg.resume and not cfg.exist_ok:
+            from tamtr_tpu.utils.files import increment_path
+
+            run_dir = increment_path(run_dir)  # reference get_save_dir behavior
         run_dir.mkdir(parents=True, exist_ok=True)
+        self._last_run_dir = run_dir
         csv_path = run_dir / "results.csv"
         start_epoch = 0
         if cfg.resume and (run_dir / "weights" / "last").exists():
@@ -232,6 +237,21 @@ class Engine:
                 for extra in ("masks", "keypoints"):
                     if extra in batch:
                         host_batch[extra] = batch[extra]
+                if cfg.plots and epoch == start_epoch and n_steps < 3 and jax.process_index() == 0:
+                    try:
+                        from tamtr_tpu.utils.plotting import plot_images
+
+                        bi = np.repeat(np.arange(len(batch["img"])), batch["cls"].shape[1])
+                        valid = batch["mask"].reshape(-1)
+                        plot_images(
+                            host_batch["img"], bi[valid],
+                            batch["cls"].reshape(-1)[valid],
+                            batch["bboxes"].reshape(-1, 4)[valid],
+                            names=self.names,
+                            save_path=run_dir / f"train_batch{n_steps}.jpg",
+                        )
+                    except Exception:
+                        pass
                 dev_batch = shard_batch(host_batch, mesh)
                 state, m = jit_step(state, dev_batch, rng)
                 n_steps += 1
@@ -683,9 +703,9 @@ class Engine:
             res["pose_mAP50"] = pres["mAP50"]
             res["pose_mAP50-95"] = pres["mAP50-95"]
         if confusion is not None:
-            out_dir = Path(cfg.project or "runs")
-            out_dir.mkdir(parents=True, exist_ok=True)
-            confusion.plot(out_dir / "confusion_matrix.png", names=self.names)
+            out_dir = getattr(self, "_last_run_dir", None) or Path(cfg.project or "runs")
+            Path(out_dir).mkdir(parents=True, exist_ok=True)
+            confusion.plot(Path(out_dir) / "confusion_matrix.png", names=self.names)
         res["images_per_sec"] = n / max(time.time() - t0, 1e-9)
         LOGGER.info(
             f"val: mAP50={res['mAP50']:.4f} mAP50-95={res['mAP50-95']:.4f} "

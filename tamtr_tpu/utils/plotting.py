@@ -81,3 +81,48 @@ def plot_results(csv_path: str | Path, save_path: str | Path | None = None) -> N
     fig.tight_layout()
     fig.savefig(save_path or Path(csv_path).with_name("results.png"), dpi=120)
     plt.close(fig)
+
+
+def plot_images(
+    images: np.ndarray,
+    batch_idx: np.ndarray,
+    cls: np.ndarray,
+    bboxes: np.ndarray,
+    names: List[str] | None = None,
+    save_path: str | Path | None = None,
+    max_subplots: int = 16,
+) -> np.ndarray:
+    """Training-batch mosaic (reference `plotting.py:plot_images`, `:367`).
+
+    images: (B, H, W, 3) float [0,1] or uint8; bboxes normalized xywh;
+    batch_idx maps each box to its image. Returns the mosaic (and saves it
+    when save_path is given).
+    """
+    import cv2
+
+    bs = min(len(images), max_subplots)
+    ns = int(np.ceil(bs ** 0.5))
+    h, w = images.shape[1:3]
+    mosaic = np.full((ns * h, ns * w, 3), 255, np.uint8)
+    pal = _palette(int(cls.max()) + 1 if len(cls) else 1)
+    for i in range(bs):
+        im = images[i]
+        if im.dtype != np.uint8:
+            im = (np.clip(im, 0, 1) * 255).astype(np.uint8)
+        y0, x0 = (i // ns) * h, (i % ns) * w
+        tile = np.ascontiguousarray(im[..., ::-1])  # RGB -> BGR for cv2
+        sel = np.asarray(batch_idx) == i
+        for c, (cx, cy, bw, bh) in zip(np.asarray(cls)[sel], np.asarray(bboxes)[sel]):
+            x1 = int((cx - bw / 2) * w)
+            y1 = int((cy - bh / 2) * h)
+            x2 = int((cx + bw / 2) * w)
+            y2 = int((cy + bh / 2) * h)
+            color = pal[int(c) % len(pal)]
+            cv2.rectangle(tile, (x1, y1), (x2, y2), color, 1)
+            label = names[int(c)] if names and int(c) < len(names) else str(int(c))
+            cv2.putText(tile, label, (x1, max(y1 - 2, 8)), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.3, color, 1)
+        mosaic[y0 : y0 + h, x0 : x0 + w] = tile
+    if save_path is not None:
+        cv2.imwrite(str(save_path), mosaic)
+    return mosaic

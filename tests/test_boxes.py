@@ -75,3 +75,50 @@ def test_pairwise_iou(rng):
                 b[j, 3] - b[j, 1]
             ) - inter
             np.testing.assert_allclose(got[i, j], inter / (union + 1e-7), atol=1e-5)
+
+
+def test_bboxes_container():
+    from tamtr_tpu.utils.instance import Bboxes
+
+    b = Bboxes(np.array([[10.0, 10.0, 20.0, 30.0]]), "xyxy")
+    b.convert("xywh")
+    np.testing.assert_allclose(b.bboxes, [[15, 20, 10, 20]])
+    b.convert("ltwh")
+    np.testing.assert_allclose(b.bboxes, [[10, 10, 10, 20]])
+    b.convert("xyxy")
+    np.testing.assert_allclose(b.bboxes, [[10, 10, 20, 30]])
+    assert b.areas()[0] == 200
+    b.mul((2, 2, 2, 2))
+    b.add((1, 1, 1, 1))
+    np.testing.assert_allclose(b.bboxes, [[21, 21, 41, 61]])
+    cat = Bboxes.concatenate([b, b])
+    assert len(cat) == 2
+
+
+def test_instances_geometry():
+    from tamtr_tpu.utils.instance import Instances
+
+    boxes = np.array([[0.5, 0.5, 0.25, 0.5]])  # normalized cxcywh
+    segs = [np.array([[0.4, 0.3], [0.6, 0.7]], np.float32) * np.array([100, 80])]
+    kpts = np.array([[[50.0, 40.0, 1.0]]])
+    inst = Instances(boxes, None, None, bbox_format="xywh", normalized=True)
+    inst.denormalize(100, 80)
+    np.testing.assert_allclose(inst.bboxes, [[50, 40, 25, 40]])
+    inst.convert_bbox("xyxy")
+    np.testing.assert_allclose(inst.bboxes, [[37.5, 20, 62.5, 60]])
+    inst2 = Instances(inst.bboxes.copy(), segs, kpts, "xyxy", normalized=False)
+    inst2.fliplr(100)
+    np.testing.assert_allclose(inst2.bboxes, [[37.5, 20, 62.5, 60]])
+    assert inst2.keypoints[0, 0, 0] == 50.0
+    inst2.flipud(80)
+    np.testing.assert_allclose(inst2.bboxes, [[37.5, 20, 62.5, 60]])
+    inst2.add_padding(10, 5)
+    np.testing.assert_allclose(inst2.bboxes, [[47.5, 25, 72.5, 65]])
+    inst2.clip(60, 60)
+    assert inst2.bboxes[:, 2].max() <= 60
+    # zero-area removal
+    inst3 = Instances(np.array([[0, 0, 0, 0], [1, 1, 5, 5]], np.float32), bbox_format="xyxy", normalized=False)
+    keep = inst3.remove_zero_area_boxes()
+    assert keep.tolist() == [False, True] and len(inst3) == 1
+    cat = Instances.concatenate([inst3, inst3])
+    assert len(cat) == 2

@@ -233,3 +233,31 @@ def test_autobatch_cpu_fallback():
     from tamtr_tpu.utils.autobatch import autobatch
 
     assert autobatch(lambda x: x, lambda b: (b,), default=4) == 4
+
+
+def test_increment_path(tmp_path):
+    from tamtr_tpu.utils.files import file_size, increment_path
+
+    p = tmp_path / "train"
+    assert increment_path(p) == p  # doesn't exist yet
+    p.mkdir()
+    p2 = increment_path(p)
+    assert p2.name == "train2"
+    p2.mkdir()
+    assert increment_path(p).name == "train3"
+    assert increment_path(p, exist_ok=True) == p
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"0" * (1 << 20))
+    assert abs(file_size(f) - 1.0) < 1e-6
+    assert file_size(tmp_path) >= 1.0
+
+
+def test_plot_images(tmp_path):
+    from tamtr_tpu.utils.plotting import plot_images
+
+    imgs = np.random.rand(3, 32, 48, 3).astype(np.float32)
+    bi = np.array([0, 0, 2])
+    cls = np.array([0, 1, 0])
+    boxes = np.array([[0.5, 0.5, 0.4, 0.4], [0.2, 0.2, 0.1, 0.1], [0.7, 0.7, 0.2, 0.2]])
+    out = plot_images(imgs, bi, cls, boxes, names=["a", "b"], save_path=tmp_path / "m.jpg")
+    assert out.shape == (64, 96, 3) and (tmp_path / "m.jpg").exists()
