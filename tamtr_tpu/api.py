@@ -37,6 +37,10 @@ class TAMTR:
     def predict(self, source: Any = None, **kwargs: Any):
         return self._lazy_engine().predict(source, **kwargs)
 
+    def track(self, source: Any = None, tracker: str = "bytetrack", persist: bool = False, **kwargs: Any):
+        """Multi-object tracking over a video/stream (reference `Model.track`)."""
+        return self._lazy_engine().track(source, tracker=tracker, persist=persist, **kwargs)
+
     def tune(self, iterations: int = 10, **kwargs: Any):
         """Mutation-based hyperparameter evolution over short trainings."""
         return self._lazy_engine().tune(iterations, **kwargs)

@@ -803,6 +803,51 @@ class Engine:
             )
         return results
 
+    # ------------------------------------------------------------------ track
+    def track(
+        self,
+        source: Any,
+        tracker: str = "bytetrack",
+        persist: bool = False,
+        **overrides: Any,
+    ) -> List[Any]:
+        """Multi-object tracking over a stream (reference `Model.track` +
+        `trackers/track.py`): per-frame detection -> BYTETracker/BoT-SORT
+        association; each Results gains `track_ids`."""
+        import cv2
+
+        from tamtr_tpu.data.loaders import load_inference_source
+        from tamtr_tpu.engine.results import Results
+        from tamtr_tpu.trackers.track import make_tracker, update_result_with_tracks
+
+        cfg = get_cfg(self.cfg, overrides=overrides)
+        assert self.model is not None and self.state is not None, "load/train a model first"
+        if not persist or getattr(self, "_tracker", None) is None:
+            self._tracker = make_tracker(tracker)
+        variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
+        conf = cfg.conf if cfg.conf is not None else 0.25
+        eval_step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
+        txt = jnp.asarray(self.txt_feats[None])
+        results = []
+        for name, frame in load_inference_source(source, cfg.vid_stride):
+            oh, ow = frame.shape[:2]
+            img = cv2.resize(frame, (cfg.imgsz, cfg.imgsz))[..., ::-1].astype(np.float32) / 255.0
+            boxes, scores, labels, valid, *_ = jax.device_get(
+                eval_step(variables, jnp.asarray(np.ascontiguousarray(img)[None]), txt)
+            )
+            sel = valid[0] & (scores[0] > 0)
+            r = Results(
+                name,
+                boxes[0][sel] * np.array([ow, oh, ow, oh], np.float32),
+                scores[0][sel],
+                labels[0][sel],
+                self.names,
+                orig_shape=(oh, ow),
+            )
+            update_result_with_tracks(r, self._tracker)
+            results.append(r)
+        return results
+
     def tune(self, iterations: int = 10, **overrides: Any) -> Dict[str, float]:
         """Hyperparameter evolution (reference `Model.tune`): mutate hypers,
         run short trainings, keep the fitness-best (engine/tuner.py)."""

@@ -52,3 +52,24 @@ def test_botsort_runs(rng):
         boxes, scores, classes = _frame_dets(t)
         out = tr.update(boxes, scores, classes, frame)
     assert len(out) == 2
+
+
+def test_make_tracker_and_result_update():
+    from tamtr_tpu.engine.results import Results
+    from tamtr_tpu.trackers.track import make_tracker, update_result_with_tracks
+
+    t = make_tracker("bytetrack.yaml")
+    r1 = Results("f0", np.array([[10.0, 10, 50, 50], [100, 100, 150, 160]]),
+                 np.array([0.9, 0.8]), np.array([0, 1]), ["a", "b"])
+    update_result_with_tracks(r1, t)
+    assert len(r1.track_ids) == 2
+    ids0 = set(r1.track_ids.tolist())
+    # same boxes next frame -> same identities
+    r2 = Results("f1", np.array([[12.0, 11, 52, 51], [101, 102, 151, 161]]),
+                 np.array([0.9, 0.8]), np.array([0, 1]), ["a", "b"])
+    update_result_with_tracks(r2, t)
+    assert set(r2.track_ids.tolist()) == ids0
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_tracker("nope")
