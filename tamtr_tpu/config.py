@@ -82,6 +82,9 @@ class Config:
     # deploy-time RepConvN fusion for inference (reference `fuse()` /
     # `switch_to_deploy`); params transformed via tamtr_tpu.nn.fuse
     fuse: bool = False
+    # rematerialize graph layers in the train backward (activation memory
+    # O(layer inputs) instead of ~14GB at 640px b4; ~30% recompute)
+    remat: bool = True
     agnostic_nms: bool = False
     classes: Optional[List[int]] = None
     retina_masks: bool = False

@@ -42,17 +42,24 @@ def load_checkpoint(path: str | Path, target) -> Tuple[Any, Dict[str, Any]]:
 
 
 def strip_for_inference(state) -> Dict[str, Any]:
-    """EMA weights only (the reference's `strip_optimizer`)."""
-    return {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
+    """EMA weights only (the reference's `strip_optimizer`); unravels flat
+    parameter vectors into the model tree."""
+    p = state.ema_params
+    unr = getattr(state, "unravel", None)
+    if unr is not None and hasattr(p, "ndim") and p.ndim == 1:
+        p = unr(p)
+    return {"params": p, "batch_stats": state.ema_batch_stats}
 
 
 class InferenceState:
     """Duck-typed TrainState carrying only the weights needed for eval."""
 
-    def __init__(self, params, batch_stats, ema_params=None, ema_batch_stats=None):
+    def __init__(self, params, batch_stats, ema_params=None, ema_batch_stats=None,
+                 unravel=None):
         self.params = params
         self.batch_stats = batch_stats
         self.ema_params = ema_params if ema_params is not None else params
+        self.unravel = unravel
         self.ema_batch_stats = (
             ema_batch_stats if ema_batch_stats is not None else batch_stats
         )

@@ -141,7 +141,7 @@ class Engine:
 
         model = TAMTRModel.from_yaml(
             self.model_cfg, nc=nc, max_gt=cfg.max_gt, scan_chunk=cfg.scan_chunk,
-            dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+            dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32, remat=cfg.remat,
         )
         self.model = model
         tc = TrainConfig(
@@ -421,7 +421,7 @@ class Engine:
         from tamtr_tpu.data.dataset import ClassificationDataset
 
         ds = ClassificationDataset(val_dir, imgsz=imgsz, augment=False)
-        variables = {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
+        variables = self._variables_from(state)
         bs = max(cfg.batch, 1)
 
         @jax.jit
@@ -452,7 +452,7 @@ class Engine:
         from tamtr_tpu.data.loaders import load_inference_source
 
         imgsz = cfg.imgsz if cfg.imgsz != 640 else 224
-        variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
+        variables = self._variables_from(self.state)
         model = self.model
 
         @jax.jit
@@ -488,10 +488,7 @@ class Engine:
         from tamtr_tpu.engine.exporter import export_model
 
         assert self.model is not None and self.state is not None
-        variables = {
-            "params": self.state.ema_params,
-            "batch_stats": self.state.ema_batch_stats,
-        }
+        variables = self._variables_from(self.state)
         return export_model(
             self.model, variables, imgsz, len(self.names) or self.model.nc, out_dir, fmt
         )
@@ -517,6 +514,33 @@ class Engine:
             if self.state is None:
                 raise RuntimeError("no weights loaded; train first or load a checkpoint")
         return self._validate(self.model, self.state, data, cfg, use_ema=True)
+
+    @staticmethod
+    def _variables_from(state, use_ema: bool = True) -> Dict[str, Any]:
+        """Model variables from a train/inference state; unravels flat
+        parameter vectors (TrainState stores params flat, see trainer.py)."""
+        p = state.ema_params if use_ema else state.params
+        bs = state.ema_batch_stats if use_ema else state.batch_stats
+        if p is None and use_ema:  # inference states without EMA copy
+            p, bs = state.params, state.batch_stats
+        unr = getattr(state, "unravel", None)
+        if unr is not None and hasattr(p, "ndim") and p.ndim == 1:
+            p = unr(p)
+        return {"params": p, "batch_stats": bs if bs is not None else {}}
+
+    def _resolve_eval_model(self, model, variables, cfg):
+        """Apply eval-time model transforms: RepConvN fusion (cfg.fuse) and
+        bf16 compute (cfg.half — the reference's `half` flag; BN stats, the
+        scan, and box decode stay fp32 via the model's internal casts)."""
+        if cfg.fuse:
+            model, variables = self._deploy_model_and_vars(model, variables)
+        if cfg.half and model.dtype != jnp.bfloat16:
+            key = ("half", id(model))
+            cache = getattr(self, "_half_cache", None)
+            if cache is None or cache[0] != key:
+                self._half_cache = (key, model.clone(dtype=jnp.bfloat16))
+            model = self._half_cache[1]
+        return model, variables
 
     def _deploy_model_and_vars(self, model, variables):
         """RepConvN-fused (deploy) twin of `model` + transformed variables.
@@ -577,12 +601,8 @@ class Engine:
         split_dir = data.get(cfg.split) or data.get("val")
         task = {"Segment": "segment", "Pose": "pose"}.get(model.head_type, "detect")
         ds = DetectionDataset(split_dir, imgsz=cfg.imgsz, augment=False, task=task)
-        variables = {
-            "params": state.ema_params if use_ema else state.params,
-            "batch_stats": state.ema_batch_stats if use_ema else state.batch_stats,
-        }
-        if cfg.fuse:
-            model, variables = self._deploy_model_and_vars(model, variables)
+        variables = self._variables_from(state, use_ema=use_ema)
+        model, variables = self._resolve_eval_model(model, variables, cfg)
         conf = cfg.conf if cfg.conf is not None else 0.4
 
         eval_step = self._get_eval_step(model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
@@ -731,10 +751,8 @@ class Engine:
             )
         else:
             paths = list(source)
-        variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
-        pred_model = self.model
-        if cfg.fuse:
-            pred_model, variables = self._deploy_model_and_vars(self.model, variables)
+        variables = self._variables_from(self.state)
+        pred_model, variables = self._resolve_eval_model(self.model, variables, cfg)
         conf = cfg.conf if cfg.conf is not None else 0.25
         eval_step = self._get_eval_step(pred_model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
 
@@ -824,7 +842,7 @@ class Engine:
         assert self.model is not None and self.state is not None, "load/train a model first"
         if not persist or getattr(self, "_tracker", None) is None:
             self._tracker = make_tracker(tracker)
-        variables = {"params": self.state.ema_params, "batch_stats": self.state.ema_batch_stats}
+        variables = self._variables_from(self.state)
         conf = cfg.conf if cfg.conf is not None else 0.25
         eval_step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
         txt = jnp.asarray(self.txt_feats[None])
@@ -885,6 +903,13 @@ class Engine:
         self.model = TAMTRModel.from_yaml(
             self.model_cfg, nc=nc, max_gt=meta.get("max_gt", 128)
         )
+        # flat checkpoints (TrainState stores params as one vector): rebuild
+        # the unravel from the model structure so eval can restore the tree
+        p = getattr(state, "params", None)
+        if hasattr(p, "ndim") and p.ndim == 1 and getattr(state, "unravel", None) is None:
+            from tamtr_tpu.train.trainer import unravel_for_model
+
+            state.unravel = unravel_for_model(self.model, nc)
         return self
 
     def set_classes(self, classes: List[str], embeddings: Optional[np.ndarray] = None) -> None:

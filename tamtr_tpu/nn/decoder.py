@@ -349,6 +349,8 @@ class ManbaWorldDecoder(nn.Module):
     scan_chunk: int = 128
     # text-contrastive score heads (TAM-TR) vs plain Linear heads (RT-DETR)
     use_text: bool = True
+    # rematerialize the per-level VSS mixers in the backward pass
+    remat: bool = False
 
     @property
     def dn_groups(self) -> int:
@@ -371,14 +373,27 @@ class ManbaWorldDecoder(nn.Module):
         B = feats[0].shape[0]
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
 
-        # per-level VSS mixers (channels-last natively)
+        # per-level VSS mixers (channels-last natively); remat trades
+        # recompute for the large (B, L, 2C) SS2D intermediates in the bwd
         feats = [
-            VSSBlock(
-                hidden_dim=self.ch[i],
-                drop_path=self.vss_drop_path,
-                scan_chunk=self.scan_chunk,
-                name=f"vss{i}",
-            )(f, train)
+            (
+                nn.remat(lambda mdl, a: mdl(a, train))(
+                    VSSBlock(
+                        hidden_dim=self.ch[i],
+                        drop_path=self.vss_drop_path,
+                        scan_chunk=self.scan_chunk,
+                        name=f"vss{i}",
+                    ),
+                    f,
+                )
+                if self.remat
+                else VSSBlock(
+                    hidden_dim=self.ch[i],
+                    drop_path=self.vss_drop_path,
+                    scan_chunk=self.scan_chunk,
+                    name=f"vss{i}",
+                )(f, train)
+            )
             for i, f in enumerate(feats)
         ]
 

@@ -148,6 +148,11 @@ class TAMTRModel(nn.Module):
     # deploy=True switches RepConvN blocks to their fused single-conv form
     # (params from `tamtr_tpu.nn.fuse.fuse_repconv_variables`)
     deploy: bool = False
+    # rematerialize each graph layer (and the head's VSS mixers) in the
+    # backward pass: the un-remat'ed grad graph needs ~14 GB of activation
+    # temps at 640px batch 4 — past single-chip HBM once optimizer state is
+    # resident. remat trades ~30% recompute for O(layer-input) memory.
+    remat: bool = False
     # compute dtype for convs/attention; BN stats, the selective scan, and
     # the loss stay fp32 (the reference trains amp=False — bf16 here is a
     # TPU-native speed option, off by default)
@@ -169,6 +174,7 @@ class TAMTRModel(nn.Module):
         txt_feats: jnp.ndarray,
         targets: Optional[Dict[str, jnp.ndarray]] = None,
         train: bool = False,
+        features_only: bool = False,
     ):
         if txt_feats.shape[0] != img.shape[0]:
             txt_feats = jnp.broadcast_to(
@@ -187,13 +193,21 @@ class TAMTRModel(nn.Module):
             mod = _build_module(
                 m, args, name=f"m{idx}_{m.replace('.', '_')}", deploy=self.deploy
             )
+            heavy = m not in ("Concat", "Silence", "nn.Upsample")
             if m == "TIAGELAN":
-                x = mod(inp, txt_feats, train)
+                if self.remat and heavy:
+                    x = nn.remat(lambda mdl, a, g: mdl(a, g, train))(mod, inp, txt_feats)
+                else:
+                    x = mod(inp, txt_feats, train)
+            elif self.remat and heavy:
+                x = nn.remat(lambda mdl, a: mdl(a, train))(mod, inp)
             else:
                 x = mod(inp, train)
             y.append(x if idx in self.save else None)
 
         feats = [y[j] for j in self.head_from]
+        if features_only:
+            return feats
         if self.head_type == "Detect":
             from tamtr_tpu.nn.yolo_head import Detect
 
@@ -224,6 +238,7 @@ class TAMTRModel(nn.Module):
             max_gt=self.max_gt,
             scan_chunk=self.scan_chunk,
             use_text=use_text,
+            remat=self.remat,
             name="head",
         )
         return head(feats, txt_feats, targets, train)
