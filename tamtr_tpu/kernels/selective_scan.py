@@ -40,10 +40,16 @@ DBLK = 512
 SCAN_T = 16
 # raise the Mosaic scoped-VMEM cap (default 16 MiB) so wider D blocks fit;
 # v5e VMEM is far larger, and wider blocks amortize per-grid-step overhead
-VMEM_LIMIT = 64 * 1024 * 1024
+import os as _os
+
+VMEM_LIMIT = int(_os.environ.get("TAMTR_SCAN_VMEM", 64 * 1024 * 1024))
+DBLK = int(_os.environ.get("TAMTR_SCAN_DBLK", 0)) or DBLK
+SCAN_IMPL_HDIRECT = _os.environ.get("TAMTR_SCAN_HDIRECT", "1") == "1"
 
 
 def _compiler_params():
+    if VMEM_LIMIT <= 0:
+        return None
     try:
         return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
     except (AttributeError, TypeError):  # older pallas naming
@@ -364,7 +370,15 @@ def _ss2d_kernel(
     # Seeded minimum-arithmetic scan. Forward: prefix (h_t = a_t h_{t-1} + b_t);
     # reverse direction runs the mirrored suffix recurrence instead of
     # flipping data (Mosaic has no `rev` lowering; saves the flip traffic).
-    y, h_last = _scan_h_direct(a, b, h_ref[...], Cc, reverse)
+    if SCAN_IMPL_HDIRECT:
+        y, h_last = _scan_h_direct(a, b, h_ref[...], Cc, reverse)
+    else:
+        S = u.shape[0]
+        af, bf = _chunk_scan_two_level(a, b, reverse)
+        h_all = af * h_ref[...][None] + bf
+        y = jnp.sum(h_all * Cc[:, :, None], axis=1)
+        edge = 0 if reverse else S - 1
+        h_last = h_all[edge : edge + 1].reshape(h_ref.shape)
     y_ref[0] = y + u * D_ref[0]
     h_ref[...] = h_last
 
