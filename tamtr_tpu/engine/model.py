@@ -82,6 +82,9 @@ class Engine:
         nc = data["nc"]
         self.names = data["names"]
         self.txt_feats = class_text_embeddings(self.names, npz_path=cfg.text_embeddings)
+        from tamtr_tpu.utils.checks import check_imgsz
+
+        cfg.imgsz = check_imgsz(cfg.imgsz, stride=32)
 
         if cfg.batch == -1:
             # reference `autobatch` semantics (batch=-1 => fit to memory);
@@ -200,6 +203,10 @@ class Engine:
             run_dir = increment_path(run_dir)  # reference get_save_dir behavior
         run_dir.mkdir(parents=True, exist_ok=True)
         self._last_run_dir = run_dir
+        if cfg.plots:
+            from tamtr_tpu.utils.callbacks import add_tensorboard
+
+            add_tensorboard(self.callbacks, str(run_dir / "tb"))
         csv_path = run_dir / "results.csv"
         start_epoch = 0
         if cfg.resume and (run_dir / "weights" / "last").exists():

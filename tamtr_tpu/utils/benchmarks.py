@@ -28,10 +28,7 @@ def benchmark(
 
     formats = formats or list(FORMATS)
     assert engine.model is not None and engine.state is not None
-    variables = {
-        "params": engine.state.ema_params,
-        "batch_stats": engine.state.ema_batch_stats,
-    }
+    variables = engine._variables_from(engine.state)
     n_text = max(len(engine.names), 1)
     rows: List[Dict[str, Any]] = []
 
@@ -54,4 +51,58 @@ def benchmark(
             rows.append({"format": fmt, "ok": True, "path": str(path)})
         except Exception as e:  # gated formats (e.g. TF missing)
             rows.append({"format": fmt, "ok": False, "error": str(e)[:120]})
+    return rows
+
+
+def profile_model(
+    engine,
+    imgsz_list: Optional[List[int]] = None,
+    batch: int = 1,
+    n_iter: int = 8,
+) -> List[Dict[str, Any]]:
+    """Per-size timing + FLOPs sweep (reference `ProfileModels`,
+    `utils/benchmarks.py:153`). Uses chained iterations to amortize the
+    dispatch round-trip and XLA cost analysis for FLOPs."""
+    import jax
+    import jax.numpy as jnp
+
+    assert engine.model is not None and engine.state is not None
+    variables = engine._variables_from(engine.state)
+    n_text = max(len(engine.names), 1)
+    rows: List[Dict[str, Any]] = []
+    for sz in imgsz_list or [320, 640]:
+        txt = jnp.zeros((batch, n_text, 512), jnp.float32)
+
+        def fwd(img):
+            return engine.model.apply(variables, img, txt, None, False)["pred"]
+
+        @jax.jit
+        def chained(img):
+            def body(c, _):
+                p = fwd(c)
+                return jnp.clip(c + jnp.tanh(p.mean()) * 1e-3, 0, 1), None
+
+            out, _ = jax.lax.scan(body, img, None, length=n_iter)
+            return out
+
+        img = jnp.asarray(
+            np.random.default_rng(0).random((batch, sz, sz, 3), dtype=np.float32)
+        )
+        try:
+            cost = jax.jit(fwd).lower(img).compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        except Exception:
+            flops = 0.0
+        jax.device_get(chained(img)[0, 0, :2])
+        t0 = time.perf_counter()
+        jax.device_get(chained(img)[0, 0, :2])
+        dt = (time.perf_counter() - t0) / n_iter
+        rows.append(
+            {
+                "imgsz": sz,
+                "ms_per_image": round(dt * 1e3 / batch, 2),
+                "img_per_sec": round(batch / dt, 1),
+                "gflops_per_image": round(flops / 1e9 / batch, 1),
+            }
+        )
     return rows

@@ -64,3 +64,69 @@ def add_tensorboard(callbacks: "Callbacks", log_dir: str) -> bool:
     callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
     callbacks.add("teardown", lambda *a, **k: writer.close())
     return True
+
+
+def add_wandb(callbacks: "Callbacks", project: str = "tamtr_tpu", run_name: str = "train") -> bool:
+    """Weights & Biases integration (reference `callbacks/wb.py`); gated on
+    the package being installed and configured."""
+    try:
+        import wandb
+    except ImportError:
+        return False
+    run = wandb.init(project=project, name=run_name, reinit=True)
+
+    def on_fit_epoch_end(engine, epoch, metrics):
+        run.log({k: v for k, v in metrics.items() if isinstance(v, (int, float))}, step=epoch)
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    callbacks.add("on_train_end", lambda *a, **k: run.finish())
+    return True
+
+
+def add_mlflow(callbacks: "Callbacks", experiment: str = "tamtr_tpu") -> bool:
+    """MLflow integration (reference `callbacks/mlflow.py`); gated."""
+    try:
+        import mlflow
+    except ImportError:
+        return False
+    mlflow.set_experiment(experiment)
+    mlflow.start_run()
+
+    def on_fit_epoch_end(engine, epoch, metrics):
+        mlflow.log_metrics(
+            {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))},
+            step=epoch,
+        )
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    callbacks.add("on_train_end", lambda *a, **k: mlflow.end_run())
+    return True
+
+
+def add_csv_logger(callbacks: "Callbacks", path) -> bool:
+    """Standalone CSV logger (the reference's results.csv is built into the
+    trainer; this registers an extra sink via the event seam)."""
+    import csv
+    from pathlib import Path
+
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+
+    def on_fit_epoch_end(engine, epoch, metrics):
+        exists = p.exists()
+        with open(p, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["epoch"] + sorted(metrics))
+            if not exists:
+                w.writeheader()
+            w.writerow({"epoch": epoch, **{k: metrics[k] for k in sorted(metrics)}})
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    return True
+
+
+DEFAULT_INTEGRATIONS = {
+    "tensorboard": add_tensorboard,
+    "wandb": add_wandb,
+    "mlflow": add_mlflow,
+    "csv": add_csv_logger,
+}

@@ -126,3 +126,32 @@ def plot_images(
     if save_path is not None:
         cv2.imwrite(str(save_path), mosaic)
     return mosaic
+
+
+def feature_visualization(
+    feats, save_dir: str | Path, stage: str = "", max_channels: int = 32
+) -> List[Path]:
+    """Save per-level feature-map channel grids (reference
+    `plotting.py:feature_visualization`, `:658`). `feats` is a list of
+    (B, H, W, C) arrays (e.g. from `model.apply(..., features_only=True)`)."""
+    import cv2
+
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    out_paths = []
+    for li, f in enumerate(feats):
+        f = np.asarray(f)[0]  # first image, (H, W, C)
+        n = min(max_channels, f.shape[-1])
+        ns = int(np.ceil(n ** 0.5))
+        h, w = f.shape[:2]
+        grid = np.zeros((ns * h, ns * w), np.float32)
+        for c in range(n):
+            ch = f[..., c]
+            lo, hi = ch.min(), ch.max()
+            ch = (ch - lo) / (hi - lo + 1e-9)
+            grid[(c // ns) * h : (c // ns + 1) * h, (c % ns) * w : (c % ns + 1) * w] = ch
+        img = (grid * 255).astype(np.uint8)
+        p = save_dir / f"features{('_' + stage) if stage else ''}_level{li}.png"
+        cv2.imwrite(str(p), cv2.applyColorMap(img, cv2.COLORMAP_VIRIDIS))
+        out_paths.append(p)
+    return out_paths

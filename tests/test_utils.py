@@ -261,3 +261,50 @@ def test_plot_images(tmp_path):
     boxes = np.array([[0.5, 0.5, 0.4, 0.4], [0.2, 0.2, 0.1, 0.1], [0.7, 0.7, 0.2, 0.2]])
     out = plot_images(imgs, bi, cls, boxes, names=["a", "b"], save_path=tmp_path / "m.jpg")
     assert out.shape == (64, 96, 3) and (tmp_path / "m.jpg").exists()
+
+
+def test_checks():
+    from tamtr_tpu.utils.checks import check_imgsz, check_suffix, check_version
+
+    assert check_imgsz(640) == 640
+    assert check_imgsz(630) == 640
+    assert check_imgsz([100, 200], stride=32) == [128, 224]
+    assert check_imgsz(640, min_dim=2) == [640, 640]
+    assert check_version("1.2.3", ">=1.0") is True
+    assert check_version("0.9", ">=1.0") is False
+    assert check_version("2.1", ">=1.0,<2.0") is False
+    check_suffix("model.npz", (".npz", ".pt"))
+    import pytest
+
+    with pytest.raises(AssertionError):
+        check_suffix("model.onnx", ".npz")
+
+
+def test_feature_visualization(tmp_path):
+    from tamtr_tpu.utils.plotting import feature_visualization
+
+    feats = [np.random.rand(1, 16, 16, 8), np.random.rand(1, 8, 8, 12)]
+    paths = feature_visualization(feats, tmp_path, stage="s1")
+    assert len(paths) == 2 and all(p.exists() for p in paths)
+
+
+def test_ensemble_predict():
+    from tamtr_tpu.engine.ensemble import ensemble_predict
+    from tamtr_tpu.engine.results import Results
+
+    class Stub:
+        def __init__(self, boxes, scores):
+            self.b, self.s = np.asarray(boxes, np.float32), np.asarray(scores, np.float32)
+
+        def predict(self, source, **kw):
+            return [Results("img", self.b, self.s, np.zeros(len(self.b)), ["a"],
+                            orig_shape=(100, 100))]
+
+    m1 = Stub([[10, 10, 50, 50]], [0.9])
+    m2 = Stub([[12, 11, 52, 51], [70, 70, 90, 90]], [0.6, 0.8])
+    out = ensemble_predict([m1, m2], "img", iou=0.5)
+    assert len(out) == 1
+    r = out[0]
+    # overlapping box suppressed; two survivors sorted by score
+    assert len(r.boxes) == 2
+    assert r.boxes.conf[0] == 0.9 and r.boxes.conf[1] == 0.8
