@@ -5,7 +5,12 @@ Mirrors the reference `yolo` CLI (`cfg/__init__.py:entrypoint`, lines
 
     python -m tamtr_tpu detect train data=visdrone.yaml epochs=300 batch=6
     python -m tamtr_tpu detect val model=runs/train/exp/weights/best data=visdrone.yaml
-    python -m tamtr_tpu detect predict model=... source=images/
+    python -m tamtr_tpu detect predict model=... source=images/ save=true
+    python -m tamtr_tpu detect track model=... source=video.mp4 tracker=botsort
+    python -m tamtr_tpu segment train data=... model=yolo-seg-gelan.yaml
+    python -m tamtr_tpu classify train data=imagefolder/
+    python -m tamtr_tpu detect export model=... format=savedmodel
+    python -m tamtr_tpu detect benchmark model=...
 """
 
 from __future__ import annotations
@@ -13,8 +18,16 @@ from __future__ import annotations
 import sys
 from typing import Any, Dict, List
 
-TASKS = ("detect",)
-MODES = ("train", "val", "predict")
+TASKS = ("detect", "segment", "pose", "classify")
+MODES = ("train", "val", "predict", "track", "export", "benchmark", "tune")
+
+# default model yaml per task (detect is the flagship TAM-TR)
+TASK_MODELS = {
+    "detect": "tamtr.yaml",
+    "segment": "yolo-seg-gelan.yaml",
+    "pose": "yolo-pose-gelan.yaml",
+    "classify": "classify-gelan.yaml",
+}
 
 
 def _parse_value(v: str) -> Any:
@@ -51,7 +64,9 @@ def parse_args(argv: List[str]):
             raise SystemExit(0)
         else:
             close = [m for m in MODES + TASKS if a in m]
-            raise SystemExit(f"unknown argument {a!r}" + (f" (did you mean {close[0]!r}?)" if close else ""))
+            raise SystemExit(
+                f"unknown argument {a!r}" + (f" (did you mean {close[0]!r}?)" if close else "")
+            )
     if mode is None:
         raise SystemExit(f"specify a mode: {MODES}")
     return task, mode, overrides
@@ -62,9 +77,10 @@ def main(argv: List[str] | None = None) -> None:
     task, mode, ov = parse_args(argv)
     from tamtr_tpu import TAMTR
 
-    model_arg = ov.pop("model", "tamtr.yaml")
-    model = TAMTR(model_arg if str(model_arg).endswith(".yaml") else "tamtr.yaml")
-    if not str(model_arg).endswith(".yaml"):
+    model_arg = ov.pop("model", TASK_MODELS[task])
+    is_yaml = str(model_arg).endswith((".yaml", ".yml"))
+    model = TAMTR(str(model_arg) if is_yaml else TASK_MODELS[task], task=task)
+    if not is_yaml:
         # nc=/names= help load checkpoints that predate metadata
         nc = ov.pop("nc", None)
         names = ov.pop("names", None)
@@ -77,9 +93,34 @@ def main(argv: List[str] | None = None) -> None:
         print(model.val(**ov))
     elif mode == "predict":
         source = ov.pop("source", None)
+        save = ov.pop("save", False)
         results = model.predict(source, **ov)
         for r in results:
-            print(f"{r['path']}: {len(r['scores'])} detections")
+            n = len(r.boxes) if hasattr(r, "boxes") else len(r.get("scores", []))
+            print(f"{getattr(r, 'path', r.get('path') if isinstance(r, dict) else '?')}: {n} detections")
+            if save and hasattr(r, "save"):
+                from pathlib import Path
+
+                out = Path(ov.get("project", "runs")) / "predict"
+                out.mkdir(parents=True, exist_ok=True)
+                r.save(out / Path(r.path).name)
+    elif mode == "track":
+        source = ov.pop("source", None)
+        tracker = ov.pop("tracker", "bytetrack")
+        results = model.track(source, tracker=tracker, **ov)
+        for r in results:
+            print(f"{r.path}: {len(r.track_ids)} tracks {sorted(set(r.track_ids.tolist()))}")
+    elif mode == "export":
+        fmt = ov.pop("format", "savedmodel")
+        print(model.export(fmt, **ov))
+    elif mode == "benchmark":
+        from tamtr_tpu.utils.benchmarks import benchmark
+
+        for row in benchmark(model._lazy_engine(), **ov):
+            print(row)
+    elif mode == "tune":
+        iters = int(ov.pop("iterations", 10))
+        print(model.tune(iters, **ov))
 
 
 if __name__ == "__main__":

@@ -76,8 +76,34 @@ class Engine:
         cfg = get_cfg(overrides=overrides)
         self.cfg = cfg
         assert cfg.data, "train requires data=..."
+        # graceful-preemption save (SURVEY §5.3): SIGTERM/SIGINT set a flag,
+        # the epoch loop checkpoints `last` and exits cleanly so resume=True
+        # continues from the interrupted epoch. Registered before the first
+        # (minutes-long) compile so preemption during compile also lands here.
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            preempted["flag"] = True
+            LOGGER.warning(f"signal {signum}: will checkpoint and stop at the next epoch boundary")
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread (tests)
+                pass
+        self._preempted = preempted
         if TAMTRModel.from_yaml(self.model_cfg).head_type == "Classify":
-            return self._train_classify(cfg)
+            try:
+                return self._train_classify(cfg)
+            finally:
+                for sig, h in old_handlers.items():
+                    try:
+                        signal.signal(sig, h)
+                    except ValueError:
+                        pass
         data = load_data_yaml(cfg.data)
         nc = data["nc"]
         self.names = data["names"]
@@ -306,6 +332,23 @@ class Engine:
                     break
             self._append_csv(csv_path, row)
             self.callbacks.fire("on_fit_epoch_end", self, epoch, row)
+            if preempted["flag"]:
+                if jax.process_index() == 0 and cfg.save:
+                    from tamtr_tpu.engine.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        run_dir / "weights" / "last", state,
+                        {"epoch": epoch, "nc": nc, "names": self.names,
+                         "model_cfg": str(self.model_cfg), "imgsz": cfg.imgsz,
+                         "max_gt": cfg.max_gt},
+                    )
+                    LOGGER.info("preemption checkpoint saved; resume with resume=True")
+                break
+        for sig, h in old_handlers.items():
+            try:
+                signal.signal(sig, h)
+            except ValueError:
+                pass
         self.state = state
         if cfg.plots and jax.process_index() == 0:
             try:

@@ -141,3 +141,37 @@ def test_engine_pose_task(tmp_path):
         conf=0.01,
     )
     assert "pose_mAP50" in res and np.isfinite(res["pose_mAP50"])
+
+
+def test_preemption_checkpoint(tmp_path, det_data=None):
+    """SIGTERM mid-training checkpoints `last` and stops cleanly."""
+    import os
+    import signal
+    import threading
+
+    import cv2
+
+    root = tmp_path / "d"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(str(root / "images" / f"{i}.png"),
+                    rng.integers(0, 255, (64, 64, 3), np.uint8))
+        (root / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    (root / "data.yaml").write_text(
+        f"path: {root}\ntrain: images\nval: images\nnc: 1\nnames: [a]\n"
+    )
+    from tamtr_tpu import YOLO
+
+    m = YOLO("yolo-gelan.yaml")
+    # send SIGINT to ourselves shortly after training starts
+    timer = threading.Timer(10.0, lambda: os.kill(os.getpid(), signal.SIGINT))
+    timer.start()
+    try:
+        m.train(data=str(root / "data.yaml"), epochs=500, batch=2, imgsz=64,
+                workers=0, project=str(tmp_path / "runs"), max_gt=8,
+                warmup_epochs=0, plots=False, val=False)
+    finally:
+        timer.cancel()
+    assert (tmp_path / "runs" / "train" / "weights" / "last").exists()

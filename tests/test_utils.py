@@ -308,3 +308,18 @@ def test_ensemble_predict():
     # overlapping box suppressed; two survivors sorted by score
     assert len(r.boxes) == 2
     assert r.boxes.conf[0] == 0.9 and r.boxes.conf[1] == 0.8
+
+
+def test_cli_parse():
+    from tamtr_tpu.cli import TASK_MODELS, parse_args
+
+    task, mode, ov = parse_args(["segment", "train", "data=x.yaml", "epochs=3", "save=true"])
+    assert task == "segment" and mode == "train"
+    assert ov == {"data": "x.yaml", "epochs": 3, "save": True}
+    assert TASK_MODELS["classify"].startswith("classify")
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_args(["detect"])  # no mode
+    with pytest.raises(SystemExit):
+        parse_args(["detect", "trian"])  # typo
