@@ -300,6 +300,7 @@ class Engine:
             # validation + checkpointing (host 0)
             row = {"epoch": epoch + 1, "loss": float(m["loss"]), **comp, "img_per_sec": ips}
             run_val = (epoch + 1) % max(cfg.val_interval, 1) == 0 or epoch == cfg.epochs - 1
+            fitness = None
             if cfg.val and data.get("val") and run_val:
                 self.state = state
                 metrics_out = self._validate(
@@ -307,29 +308,31 @@ class Engine:
                 )
                 row.update(metrics_out)
                 fitness = metrics_out.get("fitness", 0.0)
-                if jax.process_index() == 0 and cfg.save:
-                    from tamtr_tpu.engine.checkpoint import save_checkpoint
+            # save `last` every epoch (reference saves regardless of val);
+            # `best` only when a fitness was measured this epoch
+            if jax.process_index() == 0 and cfg.save:
+                from tamtr_tpu.engine.checkpoint import save_checkpoint
 
-                    meta = {
-                        "epoch": epoch,
-                        "nc": nc,
-                        "names": self.names,
-                        "model_cfg": str(self.model_cfg),
-                        "imgsz": cfg.imgsz,
-                        "max_gt": cfg.max_gt,
-                    }
-                    save_checkpoint(run_dir / "weights" / "last", state, meta)
-                    is_best = fitness >= best_fitness
-                    if is_best:
-                        best_fitness = fitness
-                        save_checkpoint(run_dir / "weights" / "best", state, meta)
-                    self.callbacks.fire(
-                        "on_model_save", self, epoch, run_dir / "weights" / "last", is_best
-                    )
-                if stopper(epoch, fitness):
-                    LOGGER.info(f"early stopping at epoch {epoch + 1}")
-                    self._append_csv(csv_path, row)
-                    break
+                meta = {
+                    "epoch": epoch,
+                    "nc": nc,
+                    "names": self.names,
+                    "model_cfg": str(self.model_cfg),
+                    "imgsz": cfg.imgsz,
+                    "max_gt": cfg.max_gt,
+                }
+                save_checkpoint(run_dir / "weights" / "last", state, meta)
+                is_best = fitness is not None and fitness >= best_fitness
+                if is_best:
+                    best_fitness = fitness
+                    save_checkpoint(run_dir / "weights" / "best", state, meta)
+                self.callbacks.fire(
+                    "on_model_save", self, epoch, run_dir / "weights" / "last", is_best
+                )
+            if fitness is not None and stopper(epoch, fitness):
+                LOGGER.info(f"early stopping at epoch {epoch + 1}")
+                self._append_csv(csv_path, row)
+                break
             self._append_csv(csv_path, row)
             self.callbacks.fire("on_fit_epoch_end", self, epoch, row)
             if preempted["flag"]:

@@ -4,9 +4,11 @@ Backends:
 - "jax"        : native — a TAMTRModel + orbax/npz weights (fastest on TPU).
 - "savedmodel" : TF SavedModel exported by `engine/exporter.py` (TF-serving
                  path; requires tensorflow).
+- "tflite"     : TFLite flatbuffer via the tf.lite Interpreter (edge path).
 
-The reference's ONNX/TensorRT/OpenVINO/CoreML/TFLite/ncnn/paddle backends are
-GPU/mobile runtimes; the TPU serving story is jax or SavedModel.
+The reference's ONNX/TensorRT/OpenVINO/CoreML/ncnn/paddle backends are
+GPU-vendor runtimes; the TPU serving story is jax or SavedModel, with TFLite
+for edge targets.
 """
 
 from __future__ import annotations
@@ -27,7 +29,15 @@ class AutoBackend:
     ) -> None:
         self.imgsz = imgsz
         p = Path(weights)
-        if p.is_dir() and (p / "saved_model.pb").exists():
+        if p.suffix == ".tflite":
+            self.backend = "tflite"
+            import tensorflow as tf
+
+            self._interp = tf.lite.Interpreter(model_path=str(p))
+            self._interp.allocate_tensors()
+            self._in = self._interp.get_input_details()
+            self._out = self._interp.get_output_details()
+        elif p.is_dir() and (p / "saved_model.pb").exists():
             self.backend = "savedmodel"
             import tensorflow as tf
 
@@ -47,6 +57,11 @@ class AutoBackend:
                 meta.get("model_cfg", model_cfg), nc=nc, max_gt=meta.get("max_gt", 128)
             )
             variables = {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
+            pp = variables["params"]
+            if hasattr(pp, "ndim") and pp.ndim == 1:  # flat checkpoint
+                from tamtr_tpu.train.trainer import unravel_for_model
+
+                variables["params"] = unravel_for_model(self.model, nc)(pp)
             self._fn = jax.jit(
                 lambda img, txt: self.model.apply(variables, img, txt, None, False)["pred"]
             )
@@ -54,6 +69,13 @@ class AutoBackend:
 
     def __call__(self, img: np.ndarray, txt_feats: np.ndarray) -> np.ndarray:
         """img (B, H, W, 3) float32 [0,1]; txt (B, K, 512) -> (B, nq, 4+nc)."""
+        if self.backend == "tflite":
+            # tflite inputs are ordered as exported: (img, txt)
+            by_size = sorted(self._in, key=lambda d: -int(np.prod(d["shape"])))
+            self._interp.set_tensor(by_size[0]["index"], img.astype(np.float32))
+            self._interp.set_tensor(by_size[1]["index"], txt_feats.astype(np.float32))
+            self._interp.invoke()
+            return self._interp.get_tensor(self._out[0]["index"])
         if self.backend == "savedmodel":
             import tensorflow as tf
 

@@ -1,0 +1,60 @@
+"""AutoBackend parity across jax / SavedModel / TFLite (reference
+`nn/autobackend.py` — the unified multi-backend inference wrapper)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("ab")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(str(root / "images" / f"{i}.png"),
+                    rng.integers(0, 255, (64, 64, 3), np.uint8))
+        (root / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    (root / "data.yaml").write_text(
+        f"path: {root}\ntrain: images\nval: images\nnc: 1\nnames: [a]\n"
+    )
+    from tamtr_tpu import YOLO
+
+    m = YOLO("yolo-gelan.yaml")
+    m.train(data=str(root / "data.yaml"), epochs=1, batch=2, imgsz=64, workers=0,
+            project=str(root / "runs"), max_gt=4, warmup_epochs=0, plots=False,
+            val=False)
+    return m, root
+
+
+def test_autobackend_all_formats(trained):
+    m, root = trained
+    eng = m._lazy_engine()
+    img = np.random.default_rng(1).random((1, 64, 64, 3), dtype=np.float32)
+    txt = np.zeros((1, 1, 512), np.float32)
+
+    from tamtr_tpu.nn.autobackend import AutoBackend
+
+    # native jax from the orbax run checkpoint
+    ckpt = root / "runs" / "train" / "weights" / "last"
+    ab = AutoBackend(ckpt, imgsz=64)
+    ab.warmup(1, 1)
+    ref = ab(img, txt)
+    assert ref.ndim == 3 and np.isfinite(ref).all()
+
+    try:
+        import tensorflow  # noqa: F401
+    except ImportError:
+        pytest.skip("tensorflow not installed")
+    sm = eng.export("savedmodel", out_dir=str(root / "exp_sm"), imgsz=64)
+    ab_sm = AutoBackend(sm, imgsz=64)
+    out_sm = ab_sm(img, txt)
+    np.testing.assert_allclose(ref, out_sm, atol=2e-4)
+
+    tfl = eng.export("tflite", out_dir=str(root / "exp_tfl"), imgsz=64)
+    ab_tfl = AutoBackend(tfl, imgsz=64)
+    out_tfl = ab_tfl(img, txt)
+    # tflite kernels differ more (fp32 reference path)
+    np.testing.assert_allclose(ref, out_tfl, atol=5e-3, rtol=1e-2)
