@@ -177,6 +177,7 @@ class Engine:
             lr0=cfg.lr0, lrf=cfg.lrf, momentum=cfg.momentum,
             weight_decay=cfg.weight_decay, warmup_iters=int(cfg.warmup_epochs),
             warmup_bias_lr=cfg.warmup_bias_lr, epochs=cfg.epochs,
+            warmup_momentum=cfg.warmup_momentum,
             batch_size=cfg.batch, nbs=cfg.nbs, match_method=cfg.match_method,
         )
         state, tx = create_train_state(
@@ -396,6 +397,7 @@ class Engine:
             lr0=cfg.lr0, lrf=cfg.lrf, momentum=cfg.momentum,
             weight_decay=cfg.weight_decay, warmup_iters=int(cfg.warmup_epochs),
             warmup_bias_lr=cfg.warmup_bias_lr, epochs=cfg.epochs,
+            warmup_momentum=cfg.warmup_momentum,
             batch_size=cfg.batch, nbs=cfg.nbs,
         )
         state, tx = create_train_state(

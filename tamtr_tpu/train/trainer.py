@@ -43,9 +43,15 @@ class TrainConfig:
     weight_decay: float = 1e-4
     warmup_iters: int = 2000
     warmup_bias_lr: float = 0.1
+    # warmup momentum ramp 0.8 -> momentum (`trainer.py:338-341`). The
+    # reference applies it only to param groups with a "momentum" key, i.e.
+    # SGD — AdamW groups carry "betas" and are NOT ramped, so the TAM-TR
+    # recipe default is False. Set True to ramp Adam beta1 the same way.
+    warmup_momentum: float = 0.8
+    momentum_warmup: bool = False
     epochs: int = 300
     batch_size: int = 6
-    nbs: int = 64  # nominal batch size for wd scaling
+    nbs: int = 64  # nominal batch size for gradient accumulation + wd scaling
     accumulate: int = 0  # 0 => round(nbs / batch_size)
     grad_clip: float = 10.0
     ema_decay: float = 0.9999
@@ -182,9 +188,12 @@ def make_lr_schedules(cfg: TrainConfig, steps_per_epoch: int):
 
 
 class FlatOptState(NamedTuple):
-    count: jnp.ndarray  # ()
+    count: jnp.ndarray  # () optimizer steps taken
+    ni: jnp.ndarray  # () minibatches seen (the reference's `ni` counter)
+    last_opt: jnp.ndarray  # () ni at the last optimizer step (init -1)
     m: jnp.ndarray  # (P,) first moment
     v: jnp.ndarray  # (P,) second moment
+    acc: jnp.ndarray  # (P,) accumulated (summed) gradients since last step
     # per-element group masks live in the state (device arrays) rather than
     # as closure constants: 30M-element constants baked into the HLO blow
     # past the remote-compile request size limit
@@ -193,15 +202,31 @@ class FlatOptState(NamedTuple):
 
 
 def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.GradientTransformation:
-    """AdamW with reference param groups, computed on ONE flattened vector.
+    """AdamW with reference param groups + gradient accumulation, computed on
+    ONE flattened vector.
 
-    Semantics match the previous optax chain (clip_by_global_norm ->
-    scale_by_adam(b1=momentum, b2=0.999) -> masked add_decayed_weights ->
-    per-group lr), but the math runs on a single (P,) vector with
-    precomputed per-element decay/bias masks. The per-leaf chain compiled to
-    ~40 tiny device ops per parameter leaf; at this model's ~3.5k leaves and
-    the runtime's ~20 us/op dispatch floor that was ~15 s per step — the
-    flat form is ~15 large fused ops regardless of leaf count.
+    Semantics match the reference optimizer loop
+    (`engine/trainer.py:330-347,471-479`):
+
+    - gradients are SUMMED across minibatches (torch `.backward()` without
+      `zero_grad`), and the optimizer steps only when
+      `ni - last_opt_step >= accumulate`;
+    - during warmup, `accumulate` interpolates 1 -> nbs/bs over
+      `warmup_iters` minibatches (then stays at max(round(nbs/bs), 1));
+    - clipping (global-norm 10.0) is applied to the accumulated gradient at
+      step time, like the reference's `optimizer_step`;
+    - lr schedules are indexed by the MINIBATCH counter `ni` (the reference
+      warmup interpolates per iteration, not per optimizer step);
+    - optional beta1 warmup 0.8 -> momentum (`momentum_warmup`, see
+      TrainConfig — the reference only ramps SGD momentum).
+
+    The math runs on a single (P,) vector with precomputed per-element
+    decay/bias masks: a per-leaf optax chain compiled to ~40 tiny device ops
+    per leaf; at this model's ~3.5k leaves and the runtime's ~20 us/op
+    dispatch floor that was ~15 s per step — the flat form is ~20 large
+    fused ops regardless of leaf count. The no-step path is encoded
+    arithmetically (b1_eff=1, lr_eff=0, ...) instead of `where(step, new,
+    old)` over whole buffers so XLA keeps buffer donation.
     """
     from jax.flatten_util import ravel_pytree
 
@@ -209,6 +234,25 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.Grad
     b1, b2, eps = cfg.momentum, 0.999, 1e-8
     wd = cfg.scaled_wd
     clip = cfg.grad_clip
+    nw = float(max(cfg.warmup_iters, 1))
+    # ramp target is the UNROUNDED nbs/bs (reference interpolates to
+    # nbs/batch_size and rounds the interpolated value, `trainer.py:333`)
+    accum_target = float(cfg.accumulate) if cfg.accumulate > 0 else cfg.nbs / cfg.batch_size
+    fixed_accum = cfg.accumulate > 0  # explicit accumulate: no warmup ramp
+    wm, do_wm = cfg.warmup_momentum, cfg.momentum_warmup
+
+    def _accumulate_at(ni):
+        """Reference: max(1, round(interp(ni, [0, nw], [1, nbs/bs])))."""
+        if fixed_accum:
+            return jnp.full((), accum_target, jnp.float32)
+        frac = jnp.clip(ni.astype(jnp.float32) / nw, 0.0, 1.0)
+        return jnp.maximum(jnp.round(1.0 + frac * (accum_target - 1.0)), 1.0)
+
+    def _beta1_at(ni):
+        if not do_wm:
+            return jnp.full((), b1, jnp.float32)
+        frac = jnp.clip(ni.astype(jnp.float32) / nw, 0.0, 1.0)
+        return wm + frac * (b1 - wm)
 
     def init(params_tree):
         """Masks need the STRUCTURED tree (names/shapes); pass the model's
@@ -226,10 +270,13 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.Grad
                 _bias_mask(params_tree),
             )
         )
-        # m and v must be DISTINCT buffers: donating one buffer twice is an
+        # m, v, acc must be DISTINCT buffers: donating one buffer twice is an
         # execute-time error ("attempt to donate the same buffer twice")
         return FlatOptState(
             jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            jnp.full((), -1, jnp.int32),
+            jnp.zeros_like(flat),
             jnp.zeros_like(flat),
             jnp.zeros_like(flat),
             jnp.asarray(dm_flat),
@@ -243,34 +290,49 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.Grad
         structured = not hasattr(grads, "ndim") or grads.ndim != 1
         unravel = None
         if structured:
-            from jax.flatten_util import ravel_pytree
-
             g, unravel = ravel_pytree(grads)
         else:
             g = grads
-        gnorm = jnp.linalg.norm(g)
-        g = g * jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-6))
-        count = state.count + 1
-        m = b1 * state.m + (1.0 - b1) * g
-        v = b2 * state.v + (1.0 - b2) * g * g
-        cf = count.astype(jnp.float32)
-        mhat = m / (1.0 - b1 ** cf)
+        ni = state.ni
+        acc = state.acc + g  # summed, like repeated .backward()
+        do_step = (ni - state.last_opt).astype(jnp.float32) >= _accumulate_at(ni)
+        s = do_step.astype(jnp.float32)
+
+        gnorm = jnp.linalg.norm(acc)
+        gc = acc * jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-6))
+        count = state.count + do_step.astype(jnp.int32)
+        # no-step path: b1_eff=1 keeps m; (1-b1_eff)=0 drops the gradient
+        b1_t = _beta1_at(ni)
+        b1_eff = 1.0 - s * (1.0 - b1_t)
+        b2_eff = 1.0 - s * (1.0 - b2)
+        m = b1_eff * state.m + (1.0 - b1_eff) * gc
+        v = b2_eff * state.v + (1.0 - b2_eff) * gc * gc
+        cf = jnp.maximum(count.astype(jnp.float32), 1.0)
+        mhat = m / (1.0 - b1_t ** cf)
         vhat = v / (1.0 - b2 ** cf)
         upd = mhat / (jnp.sqrt(vhat) + eps)
         if params is not None and wd:
             if hasattr(params, "ndim") and params.ndim == 1:
                 p_flat = params
             else:
-                from jax.flatten_util import ravel_pytree
-
                 p_flat, _ = ravel_pytree(params)
             upd = upd + jnp.where(state.decay_mask, wd * p_flat, 0.0)
-        step_idx = state.count  # schedules are indexed by pre-increment step
-        lr_elem = jnp.where(state.bias_mask, lr_bias(step_idx), lr_main(step_idx))
-        upd = -lr_elem * upd
+        lr_elem = jnp.where(state.bias_mask, lr_bias(ni), lr_main(ni))
+        upd = (-s * lr_elem) * upd  # zero update on non-step minibatches
+        acc = acc * (1.0 - s)  # reset after a step
+        new_state = FlatOptState(
+            count,
+            ni + 1,
+            jnp.where(do_step, ni, state.last_opt).astype(jnp.int32),
+            m,
+            v,
+            acc,
+            state.decay_mask,
+            state.bias_mask,
+        )
         if structured:
             upd = unravel(upd)
-        return upd, FlatOptState(count, m, v, state.decay_mask, state.bias_mask)
+        return upd, new_state
 
     return optax.GradientTransformation(init, update)
 
@@ -381,9 +443,18 @@ def make_train_step(
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        # EMA update (reference decay ramp); params flat => 2 fused ops
-        t = (state.step + 1).astype(jnp.float32)
-        d = cfg.ema_decay * (1.0 - jnp.exp(-t / cfg.ema_tau))
+        # EMA update (reference decay ramp), ticking only on OPTIMIZER steps
+        # like `ModelEMA.update` in `optimizer_step` (`trainer.py:471-479`).
+        # No-step minibatches use d_eff=1 (identity) — arithmetic gating, not
+        # `where(step, new, old)`, to keep buffer donation.
+        if isinstance(new_opt, FlatOptState) and isinstance(state.opt_state, FlatOptState):
+            stepped = (new_opt.count > state.opt_state.count).astype(jnp.float32)
+            t = new_opt.count.astype(jnp.float32)
+        else:
+            stepped = jnp.float32(1.0)
+            t = (state.step + 1).astype(jnp.float32)
+        d_raw = cfg.ema_decay * (1.0 - jnp.exp(-t / cfg.ema_tau))
+        d = 1.0 - stepped * (1.0 - d_raw)
         ema_p = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p, state.ema_params, new_params)
         ema_b = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p, state.ema_batch_stats, new_bs)
 
