@@ -128,7 +128,10 @@ class Config:
     mixup: float = 0.0
     copy_paste: float = 0.3
     # TPU-native extensions
-    max_gt: int = 128
+    # static ground-truth padding. VisDrone images carry up to ~500 objects;
+    # 300 keeps truncation negligible (99.9th pct) while bounding the CDN
+    # group size (reference uses the dynamic per-batch max, ops.py:196-198)
+    max_gt: int = 300
     scan_chunk: int = 128
     match_method: str = "auto"
     text_embeddings: Optional[str] = None  # npz with per-class CLIP embeddings

@@ -31,6 +31,7 @@ class Sample:
 
     `segments` (optional): list of (n, 2) pixel polygons, one per box.
     `keypoints` (optional): (N, nk, 3) pixel keypoints (x, y, visibility).
+    `texts` (optional): per-sample sampled class texts (RandomLoadText).
     """
 
     img: np.ndarray  # (H, W, 3) uint8, BGR (cv2 convention; converted at format time)
@@ -38,6 +39,7 @@ class Sample:
     cls: np.ndarray  # (N,) int32
     segments: Optional[list] = None
     keypoints: Optional[np.ndarray] = None
+    texts: Optional[List[str]] = None
 
 
 def stretch_resize(sample: Sample, size: int) -> Sample:
@@ -188,6 +190,103 @@ def _box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
     w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
     ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
     return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def bbox_ioa(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Intersection over box2 area (reference `utils/metrics.py:17-40`).
+
+    box1 (N, 4), box2 (M, 4) xyxy -> (N, M)."""
+    b1x1, b1y1, b1x2, b1y2 = box1.T
+    b2x1, b2y1, b2x2, b2y2 = box2.T
+    iw = (np.minimum(b1x2[:, None], b2x2) - np.maximum(b1x1[:, None], b2x1)).clip(0)
+    ih = (np.minimum(b1y2[:, None], b2y2) - np.maximum(b1y1[:, None], b2y1)).clip(0)
+    area2 = (b2x2 - b2x1) * (b2y2 - b2y1)
+    return iw * ih / (area2 + eps)
+
+
+def copy_paste(sample: Sample, rng: np.random.Generator, p: float = 0.5) -> Sample:
+    """Copy-Paste augmentation (reference `data/augment.py:737-801`,
+    arXiv:2012.07177): paste horizontally-mirrored copies of instances at
+    their mirrored locations when the mirrored box overlaps every existing
+    box by < 30% IoA. Requires polygon segments; like the reference, this is
+    a NO-OP for box-only labels (the shipped `copy_paste: 0.3` recipe
+    therefore only bites on segment-labelled data)."""
+    if not p or sample.segments is None or len(sample.segments) == 0:
+        return sample
+    img = sample.img.copy()
+    h, w = img.shape[:2]
+    boxes = sample.boxes
+    flip_boxes = boxes.copy()
+    flip_boxes[:, 0] = w - boxes[:, 2]
+    flip_boxes[:, 2] = w - boxes[:, 0]
+    ioa = bbox_ioa(flip_boxes, boxes)  # (N, N)
+    indexes = np.nonzero((ioa < 0.30).all(1))[0]
+    k = round(p * len(indexes))
+    if k == 0:
+        return sample
+    sel = rng.choice(indexes, size=k, replace=False)
+    im_new = np.zeros(img.shape, np.uint8)
+    for j in sel:
+        cv2.drawContours(im_new, [sample.segments[int(j)].astype(np.int32)], -1,
+                         (1, 1, 1), cv2.FILLED)
+    result = img[:, ::-1]  # mirrored image
+    i = im_new[:, ::-1].astype(bool)  # original-position masks -> mirrored
+    img[i] = result[i]
+    new_boxes = np.concatenate([boxes, flip_boxes[sel]], 0)
+    new_cls = np.concatenate([sample.cls, sample.cls[sel]], 0)
+    flip_segs = [
+        np.stack([w - sample.segments[int(j)][:, 0], sample.segments[int(j)][:, 1]], -1)
+        for j in sel
+    ]
+    new_segs = list(sample.segments) + flip_segs
+    kpts = sample.keypoints
+    if kpts is not None:
+        kpts = np.concatenate([kpts, kpts[sel]], 0)
+    return Sample(img, new_boxes.astype(np.float32), new_cls, new_segs, kpts, sample.texts)
+
+
+def random_load_text(
+    cls: np.ndarray,
+    class_texts: Sequence[Sequence[str]],
+    rng: np.random.Generator,
+    max_samples: int = 80,
+    neg_samples: Tuple[int, int] = (80, 80),
+    padding: bool = True,
+    padding_value: str = "",
+    prompt_format: str = "{}",
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Sample positive + negative class texts and remap class ids
+    (reference `data/augment.py:942-1016`).
+
+    Args:
+      cls: (N,) int class ids of the instances.
+      class_texts: per-class synonym lists (names split on "/").
+    Returns:
+      (new_cls (N',), keep (N,) bool, texts list of <= max_samples strings,
+       padded to max_samples when `padding`).
+    """
+    num_classes = len(class_texts)
+    pos_labels = np.unique(cls).tolist()
+    if len(pos_labels) > max_samples:
+        pos_labels = list(rng.choice(pos_labels, size=max_samples, replace=False))
+    n_neg = min(
+        min(num_classes, max_samples) - len(pos_labels),
+        int(rng.integers(neg_samples[0], neg_samples[1] + 1)),
+    )
+    neg_pool = [i for i in range(num_classes) if i not in set(pos_labels)]
+    neg_labels = list(rng.choice(neg_pool, size=max(n_neg, 0), replace=False)) if n_neg > 0 else []
+    sampled = [int(x) for x in (list(pos_labels) + neg_labels)]
+    rng.shuffle(sampled)
+    label2id = {label: i for i, label in enumerate(sampled)}
+    keep = np.array([int(c) in label2id for c in cls], bool)
+    new_cls = np.array([label2id[int(c)] for c in cls[keep]], np.int32)
+    texts = []
+    for label in sampled:
+        prompts = class_texts[label]
+        texts.append(prompt_format.format(prompts[int(rng.integers(len(prompts)))]))
+    if padding and len(texts) < max_samples:
+        texts += [padding_value] * (max_samples - len(texts))
+    return new_cls, keep, texts
 
 
 def random_hsv(

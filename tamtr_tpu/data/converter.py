@@ -23,7 +23,8 @@ def coco91_to_coco80_class() -> List[Optional[int]]:
     """COCO 91-index -> contiguous 80-index map (reference `converter.py:8-20`)."""
     x = [None] * 91
     i80 = 0
-    missing = {12, 26, 29, 30, 45, 66, 68, 69, 71, 83}
+    # 11 removed category ids (reference map has 11 None slots incl. 91)
+    missing = {12, 26, 29, 30, 45, 66, 68, 69, 71, 83, 91}
     for i in range(91):
         if (i + 1) in missing:
             continue

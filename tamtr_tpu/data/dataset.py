@@ -42,6 +42,7 @@ class AugConfig:
 
     mosaic: float = 0.0  # TAM-TR ships mosaic off
     mixup: float = 0.0
+    copy_paste: float = 0.3  # TAM-TR recipe default (`cfg/default.yaml:114`)
     degrees: float = 0.0
     translate: float = 0.1
     scale: float = 0.9
@@ -75,12 +76,18 @@ class DetectionDataset:
         seed: int = 0,
         task: str = "detect",
         kpt_shape: Tuple[int, int] = (17, 3),
+        class_texts: Optional[Sequence[Sequence[str]]] = None,
+        random_text: bool = False,
     ) -> None:
         self.imgsz = imgsz
         self.augment = augment
         self.aug = aug or AugConfig()
         self.task = task  # "detect" | "segment" | "pose"
         self.kpt_shape = kpt_shape
+        # per-class synonym lists (names split on "/", reference
+        # `rtdetrworld/val.py:54-58`); enables RandomLoadText when training
+        self.class_texts = [list(t) for t in class_texts] if class_texts else None
+        self.random_text = random_text and self.class_texts is not None
         self.im_files = self._glob_images(img_dir)
         if not self.im_files:
             raise FileNotFoundError(f"no images found under {img_dir}")
@@ -233,10 +240,12 @@ class DetectionDataset:
         s = self.imgsz
         if self.augment and self.task != "detect":
             # segment/pose: geometric warps of polygons/keypoints are not
-            # wired yet (ROADMAP); stretch + HSV + flips only
+            # wired yet (ROADMAP); stretch + CopyPaste + HSV + flips only
             smp = A.stretch_resize(self._read(i), s)
+            smp = A.copy_paste(smp, rng, self.aug.copy_paste)
             smp = A.random_hsv(smp, rng, self.aug.hsv_h, self.aug.hsv_s, self.aug.hsv_v)
-            return A.random_flip(smp, rng, self.aug.fliplr, self.aug.flipud)
+            smp = A.random_flip(smp, rng, self.aug.fliplr, self.aug.flipud)
+            return self._load_text(smp, rng)
         if self.augment:
             if self._mosaic_on and rng.random() < self.aug.mosaic:
                 idxs = [i] + list(rng.integers(0, len(self), 3))
@@ -246,6 +255,10 @@ class DetectionDataset:
             else:
                 smp = A.stretch_resize(self._read(i), s)
                 border = (0, 0)
+            # reference order: Mosaic -> CopyPaste -> RandomPerspective
+            # (`v8_transforms`, augment.py:1018-1031); no-op for box-only
+            # labels exactly like the reference
+            smp = A.copy_paste(smp, rng, self.aug.copy_paste)
             smp = A.random_perspective(
                 smp,
                 rng,
@@ -265,9 +278,26 @@ class DetectionDataset:
                 smp = A.mixup(smp, other, rng)
             smp = A.random_hsv(smp, rng, self.aug.hsv_h, self.aug.hsv_s, self.aug.hsv_v)
             smp = A.random_flip(smp, rng, self.aug.fliplr, self.aug.flipud)
+            smp = self._load_text(smp, rng)
         else:
             smp = A.stretch_resize(self._read(i), s)
         return smp
+
+    def _load_text(self, smp: A.Sample, rng: np.random.Generator) -> A.Sample:
+        """RandomLoadText (train-time text sampling + class-id remap,
+        reference `augment.py:942-1016` inserted before Format for the
+        rtdetrworld path, `rtdetrworld/val.py:38-40`)."""
+        if not self.random_text:
+            return smp
+        max_s = min(len(self.class_texts), 80)
+        new_cls, keep, texts = A.random_load_text(
+            smp.cls, self.class_texts, rng, max_samples=max_s, padding=True
+        )
+        segs = None
+        if smp.segments is not None:
+            segs = [p for p, k in zip(smp.segments, keep) if k]
+        kpts = smp.keypoints[keep] if smp.keypoints is not None else None
+        return A.Sample(smp.img, smp.boxes[keep], new_cls, segs, kpts, texts)
 
 
 def collate(
@@ -324,6 +354,8 @@ def collate(
         out["masks"] = seg_masks
     if task == "pose":
         out["keypoints"] = keypoints
+    if any(s.texts is not None for s in samples):
+        out["texts"] = [s.texts or [] for s in samples]  # (B, K) strings
     return out
 
 

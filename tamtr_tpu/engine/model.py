@@ -114,32 +114,20 @@ class Engine:
 
         if cfg.batch == -1:
             # reference `autobatch` semantics (batch=-1 => fit to memory);
-            # exact via XLA compile-time memory analysis, no trial OOMs
-            from tamtr_tpu.utils.autobatch import autobatch
+            # exact via XLA compile-time memory analysis of the REAL jitted
+            # train step (fwd+bwd+optimizer, remat as configured) — probing
+            # only the eval forward under-estimates train peak several-fold
+            from tamtr_tpu.utils.autobatch import autobatch_train
 
-            probe = TAMTRModel.from_yaml(self.model_cfg, nc=nc, max_gt=cfg.max_gt)
-            pvars = jax.eval_shape(
-                lambda: probe.init(
-                    {"params": jax.random.PRNGKey(0)},
-                    jnp.zeros((1, cfg.imgsz, cfg.imgsz, 3)),
-                    jnp.zeros((1, max(nc, 1), 512)),
-                    None,
-                    False,
-                )
+            probe = TAMTRModel.from_yaml(
+                self.model_cfg, nc=nc, max_gt=cfg.max_gt,
+                scan_chunk=cfg.scan_chunk, remat=cfg.remat,
             )
-
-            def fwd(v, img, txt):
-                return probe.apply(v, img, txt, None, False)
-
-            sds = lambda sh: jax.ShapeDtypeStruct(sh, jnp.float32)
-            cfg.batch = autobatch(
-                fwd,
-                lambda b: (
-                    pvars,
-                    sds((b, cfg.imgsz, cfg.imgsz, 3)),
-                    sds((b, max(nc, 1), 512)),
-                ),
-                default=4,
+            probe_tc = TrainConfig(batch_size=4, nbs=cfg.nbs)
+            cfg.batch = autobatch_train(
+                probe,
+                self._loss_callable_for(probe, cfg, nc),
+                probe_tc, nc, cfg.imgsz, cfg.max_gt, default=4,
             )
         n_avail = len(jax.devices())
         n_dev = cfg.n_devices or max(
@@ -151,16 +139,22 @@ class Engine:
         )
 
         aug = AugConfig(
-            mosaic=cfg.mosaic, mixup=cfg.mixup, degrees=cfg.degrees,
+            mosaic=cfg.mosaic, mixup=cfg.mixup, copy_paste=cfg.copy_paste,
+            degrees=cfg.degrees,
             translate=cfg.translate, scale=cfg.scale, shear=cfg.shear,
             perspective=cfg.perspective, hsv_h=cfg.hsv_h, hsv_s=cfg.hsv_s,
             hsv_v=cfg.hsv_v, fliplr=cfg.fliplr, flipud=cfg.flipud,
         )
-        model_head = TAMTRModel.from_yaml(self.model_cfg, nc=nc).head_type
+        probe_model = TAMTRModel.from_yaml(self.model_cfg, nc=nc)
+        model_head = probe_model.head_type
         task = {"Segment": "segment", "Pose": "pose"}.get(model_head, "detect")
+        # RandomLoadText (reference `rtdetrworld/val.py:38-40`): per-image
+        # pos/neg text sampling + class-id remap for text-conditioned heads
         train_ds = DetectionDataset(
             data["train"], imgsz=cfg.imgsz, augment=True, aug=aug, seed=cfg.seed,
             task=task,
+            class_texts=[str(n).split("/") for n in self.names],
+            random_text=probe_model.uses_text,
         )
         loader = build_loader(
             train_ds, cfg.batch, max_gt=cfg.max_gt, seed=cfg.seed, workers=cfg.workers,
@@ -185,36 +179,9 @@ class Engine:
             (cfg.batch, cfg.imgsz, cfg.imgsz, 3), nc,
             steps_per_epoch=steps_per_epoch, max_gt=cfg.max_gt,
         )
-        if model.head_type == "Detect":
-            from tamtr_tpu.losses.v8_loss import V8LossConfig, v8_detection_loss
-
-            v8cfg = V8LossConfig(nc=nc, box=cfg.box, cls=cfg.cls, dfl=cfg.dfl, imgsz=cfg.imgsz)
-            step_fn = make_train_step(
-                model, tx, None, tc,
-                loss_callable=lambda o, t: v8_detection_loss(o, t, v8cfg),
-            )
-        elif model.head_type == "Segment":
-            from tamtr_tpu.losses.v8_seg_loss import V8SegLossConfig, v8_segmentation_loss
-
-            scfg = V8SegLossConfig(nc=nc, box=cfg.box, cls=cfg.cls, dfl=cfg.dfl, imgsz=cfg.imgsz)
-            step_fn = make_train_step(
-                model, tx, None, tc,
-                loss_callable=lambda o, t: v8_segmentation_loss(o, t, scfg),
-            )
-        elif model.head_type == "Pose":
-            from tamtr_tpu.losses.v8_pose_loss import V8PoseLossConfig, v8_pose_loss
-
-            pcfg = V8PoseLossConfig(
-                nc=nc, box=cfg.box, cls=cfg.cls, dfl=cfg.dfl, imgsz=cfg.imgsz,
-                pose=cfg.pose, kobj=cfg.kobj,
-            )
-            step_fn = make_train_step(
-                model, tx, None, tc,
-                loss_callable=lambda o, t: v8_pose_loss(o, t, pcfg),
-            )
-        else:
-            loss_cfg = DETRLossConfig(nc=nc, match_method=cfg.match_method)
-            step_fn = make_train_step(model, tx, loss_cfg, tc)
+        step_fn = make_train_step(
+            model, tx, None, tc, loss_callable=self._loss_callable_for(model, cfg, nc)
+        )
 
         repl, bsh = replicated(mesh), batch_sharding(mesh)
         state = jax.device_put(state, repl)
@@ -244,6 +211,9 @@ class Engine:
             LOGGER.info(f"resumed from epoch {start_epoch}")
         stopper = EarlyStopping(cfg.patience)
         txt = np.tile(self.txt_feats[None], (cfg.batch, 1, 1)).astype(np.float32)
+        from tamtr_tpu.data.text import TextEmbedder
+
+        text_embedder = TextEmbedder(npz_path=cfg.text_embeddings)
         best_fitness = 0.0
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -263,7 +233,11 @@ class Engine:
             for batch in loader:
                 host_batch = {
                     "img": batch["img"].astype(np.float32) / 255.0,
-                    "txt_feats": txt,
+                    # per-image sampled texts (RandomLoadText) when present,
+                    # else the static class table
+                    "txt_feats": (
+                        text_embedder(batch["texts"]) if "texts" in batch else txt
+                    ),
                     "cls": batch["cls"],
                     "bboxes": batch["bboxes"],
                     "mask": batch["mask"],
@@ -364,6 +338,30 @@ class Engine:
         self.callbacks.fire("on_train_end", self)
         self.callbacks.fire("teardown", self)
         return metrics_out
+
+    @staticmethod
+    def _loss_callable_for(model, cfg: Config, nc: int):
+        """Task-appropriate loss callable (outputs, targets) -> (loss, items)."""
+        if model.head_type == "Detect":
+            from tamtr_tpu.losses.v8_loss import V8LossConfig, v8_detection_loss
+
+            v8cfg = V8LossConfig(nc=nc, box=cfg.box, cls=cfg.cls, dfl=cfg.dfl, imgsz=cfg.imgsz)
+            return lambda o, t: v8_detection_loss(o, t, v8cfg)
+        if model.head_type == "Segment":
+            from tamtr_tpu.losses.v8_seg_loss import V8SegLossConfig, v8_segmentation_loss
+
+            scfg = V8SegLossConfig(nc=nc, box=cfg.box, cls=cfg.cls, dfl=cfg.dfl, imgsz=cfg.imgsz)
+            return lambda o, t: v8_segmentation_loss(o, t, scfg)
+        if model.head_type == "Pose":
+            from tamtr_tpu.losses.v8_pose_loss import V8PoseLossConfig, v8_pose_loss
+
+            pcfg = V8PoseLossConfig(
+                nc=nc, box=cfg.box, cls=cfg.cls, dfl=cfg.dfl, imgsz=cfg.imgsz,
+                pose=cfg.pose, kobj=cfg.kobj,
+            )
+            return lambda o, t: v8_pose_loss(o, t, pcfg)
+        loss_cfg = DETRLossConfig(nc=nc, match_method=cfg.match_method)
+        return lambda o, t: rtdetr_detection_loss(o, t, loss_cfg)
 
     # -------------------------------------------------------------- classify
     def _train_classify(self, cfg: Config) -> Dict[str, float]:
@@ -467,6 +465,20 @@ class Engine:
                     break
             self._append_csv(csv_path, row)
             self.callbacks.fire("on_fit_epoch_end", self, epoch, row)
+            # graceful preemption (same contract as the detect loop): save
+            # `last` and stop at the epoch boundary
+            if getattr(self, "_preempted", {}).get("flag"):
+                if jax.process_index() == 0 and cfg.save:
+                    from tamtr_tpu.engine.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        run_dir / "weights" / "last", state,
+                        {"epoch": epoch, "nc": nc, "names": self.names,
+                         "model_cfg": str(self.model_cfg), "imgsz": imgsz,
+                         "max_gt": 1},
+                    )
+                    LOGGER.info("preemption checkpoint saved; resume with resume=True")
+                break
         self.state = state
         self.callbacks.fire("on_train_end", self)
         return metrics_out

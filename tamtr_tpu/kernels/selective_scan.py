@@ -116,9 +116,11 @@ def _run_scan(u, dt, A_t, Bs, Cs, chunk: int, reverse: bool):
     Lp = L + pad
     nS = Lp // S
     # D blocking keeps the in-kernel (S, N, Dblk) working set inside VMEM
-    # (d_inner reaches 1024 in the level-2 mixer)
+    # (d_inner reaches 1024 in the level-2 mixer). Use the largest divisor
+    # of D that fits DBLK so widths like 768 (not a multiple of 512) work.
     Dblk = min(D, DBLK)
-    assert D % Dblk == 0
+    while D % Dblk != 0:
+        Dblk -= 1
     nD = D // Dblk
 
     def sidx(g, d, s):

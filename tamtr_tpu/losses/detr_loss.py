@@ -43,6 +43,12 @@ class DETRLossConfig:
     fl_gamma: float = 1.5
     aux_loss: bool = True
     match_method: str = "auto"
+    # ablation variants (reference ships them OFF, `models/utils/loss.py:69-83`)
+    use_sl: bool = False  # SlideLoss class loss (`utils/loss.py:15-38`)
+    use_svfl: bool = False  # SlideVarifocalLoss (`utils/loss.py:76-100`)
+    nwd_loss: bool = False  # mix NWD into the giou slot (`loss.py:165-168`)
+    iou_ratio: float = 0.5
+    use_wiseiou: bool = False  # Wise-IoU v3 in the giou slot (`loss.py:152-158`)
 
 
 def _pair_losses(
@@ -70,10 +76,27 @@ def _pair_losses(
     # L1 bbox loss
     l1 = (jnp.abs(pred_b - gt_b).sum(-1) * vf).sum()
     loss_bbox = cfg.gain_bbox * l1 / denom
-    # RIOU in the giou slot (reference `models/utils/loss.py:153`)
-    riou = bbox_iou(pred_b, gt_b, xywh=True, RIOU=True).squeeze(-1)
-    riou = jnp.nan_to_num(riou, nan=0.0)  # degenerate boxes (reference zeroes NaN costs)
-    loss_giou = cfg.gain_giou * ((1.0 - riou) * vf).sum() / denom
+    # RIOU in the giou slot (reference `models/utils/loss.py:153`), or
+    # Wise-IoU when enabled (`loss.py:152-158`; stateless carry: the running
+    # iou_mean is frozen at its init 1.0 — the reference ships this OFF)
+    if cfg.use_wiseiou:
+        from tamtr_tpu.losses.variants import wise_iou
+
+        giou_term, _ = wise_iou(pred_b, gt_b, jnp.float32(1.0), monotonous=False)
+    else:
+        riou = bbox_iou(pred_b, gt_b, xywh=True, RIOU=True).squeeze(-1)
+        riou = jnp.nan_to_num(riou, nan=0.0)  # degenerate boxes (reference zeroes NaN costs)
+        giou_term = 1.0 - riou
+    if cfg.nwd_loss:
+        from tamtr_tpu.losses.variants import wasserstein_similarity
+
+        nwd = wasserstein_similarity(pred_b, gt_b).squeeze(-1)
+        mixed = cfg.iou_ratio * (giou_term * vf).sum() / denom + (
+            1.0 - cfg.iou_ratio
+        ) * ((1.0 - nwd) * vf).sum() / denom
+        loss_giou = cfg.gain_giou * mixed
+    else:
+        loss_giou = cfg.gain_giou * (giou_term * vf).sum() / denom
 
     # classification targets: scatter matched classes; background = nc
     drop_q = jnp.where(valid, q_idx, nq)  # out-of-range => dropped
@@ -102,8 +125,31 @@ def _pair_losses(
         alpha_f = 1.0 - cfg.fl_alpha  # label is all-zero here
         return (bce0 * mod * alpha_f).mean(axis=1).sum()
 
-    loss_cls = jax.lax.cond(num > 0, vfl_loss, fl_loss) if cfg.use_vfl else fl_loss()
-    loss_cls = cfg.gain_class * loss_cls * nq / denom
+    if cfg.use_sl:
+        # SlideLoss over BCE, reduction .mean(1).sum(), no nq/num_gts scale
+        # (reference `models/utils/loss.py:103-109`); auto_iou = mean of the
+        # positive gt scores (-1 => floor 0.2 via slide_weight's clamp path)
+        from tamtr_tpu.losses.variants import slide_loss
+
+        auto_iou = jnp.where(
+            num > 0, gt_scores.sum() / jnp.maximum((gt_scores > 0).sum(), 1), -1.0
+        )
+        loss_cls = cfg.gain_class * slide_loss(
+            logits, gt_full, jnp.maximum(auto_iou, 0.2)
+        ).mean(axis=1).sum()
+    elif cfg.use_svfl:
+        from tamtr_tpu.losses.variants import slide_varifocal_loss
+
+        auto_iou = jnp.where(
+            num > 0, gt_scores.sum() / jnp.maximum((gt_scores > 0).sum(), 1), -1.0
+        )
+        svfl = slide_varifocal_loss(
+            logits, gt_full, one_hot, jnp.maximum(auto_iou, 0.2)
+        ).mean(axis=1).sum()
+        loss_cls = cfg.gain_class * jnp.where(num > 0, svfl, fl_loss()) * nq / denom
+    else:
+        loss_cls = jax.lax.cond(num > 0, vfl_loss, fl_loss) if cfg.use_vfl else fl_loss()
+        loss_cls = cfg.gain_class * loss_cls * nq / denom
 
     return {"loss_class": loss_cls, "loss_bbox": loss_bbox, "loss_giou": loss_giou}
 

@@ -70,10 +70,17 @@ class AutoBackend:
     def __call__(self, img: np.ndarray, txt_feats: np.ndarray) -> np.ndarray:
         """img (B, H, W, 3) float32 [0,1]; txt (B, K, 512) -> (B, nq, 4+nc)."""
         if self.backend == "tflite":
-            # tflite inputs are ordered as exported: (img, txt)
-            by_size = sorted(self._in, key=lambda d: -int(np.prod(d["shape"])))
-            self._interp.set_tensor(by_size[0]["index"], img.astype(np.float32))
-            self._interp.set_tensor(by_size[1]["index"], txt_feats.astype(np.float32))
+            # select inputs by shape signature (rank-4 = image, rank-3 with
+            # 512-last-dim = text) — size ordering can swap them when the
+            # text tensor outgrows a small image
+            img_in = next((d for d in self._in if len(d["shape"]) == 4), None)
+            txt_in = next(
+                (d for d in self._in if len(d["shape"]) == 3 and d is not img_in), None
+            )
+            if img_in is None or txt_in is None:  # fallback: export order
+                img_in, txt_in = self._in[0], self._in[1]
+            self._interp.set_tensor(img_in["index"], img.astype(np.float32))
+            self._interp.set_tensor(txt_in["index"], txt_feats.astype(np.float32))
             self._interp.invoke()
             return self._interp.get_tensor(self._out[0]["index"])
         if self.backend == "savedmodel":

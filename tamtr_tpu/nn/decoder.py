@@ -349,6 +349,9 @@ class ManbaWorldDecoder(nn.Module):
     scan_chunk: int = 128
     # text-contrastive score heads (TAM-TR) vs plain Linear heads (RT-DETR)
     use_text: bool = True
+    # per-level VSS mixers (TAM-TR's MEH head) vs plain RT-DETR decoder
+    # (reference `RTDETRDecoder`, head.py:174-436, has no mixers)
+    use_vss: bool = True
     # rematerialize the per-level VSS mixers in the backward pass
     remat: bool = False
 
@@ -375,7 +378,7 @@ class ManbaWorldDecoder(nn.Module):
 
         # per-level VSS mixers (channels-last natively); remat trades
         # recompute for the large (B, L, 2C) SS2D intermediates in the bwd
-        feats = [
+        feats = feats if not self.use_vss else [
             (
                 nn.remat(lambda mdl, a: mdl(a, train))(
                     VSSBlock(

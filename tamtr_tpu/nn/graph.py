@@ -71,7 +71,7 @@ def parse_graph(cfg: Dict[str, Any], nc: Optional[int] = None):
         n = max(round(n * gd), 1) if n > 1 else n
         args = [nc if a == "nc" else a for a in args]
         args = [tuple(a) if isinstance(a, list) else a for a in args]  # hashable
-        if m in ("ManbaWorldDecoder", "Detect", "Segment", "Pose", "Classify"):
+        if m in ("ManbaWorldDecoder", "RTDETRDecoder", "Detect", "Segment", "Pose", "Classify"):
             assert i == n_layers - 1, "head must be last"
             head_spec = (tuple(f), tuple(args))
             head_type = m
@@ -118,6 +118,9 @@ def _build_module(m: str, args: Tuple, name: str, deploy: bool = False):
         return L.TIAGELAN(c2, c3, c4, n, nh, deploy=deploy, name=name)
     if m == "CPAM":
         return L.CPAM(name=name)
+    if m == "AIFI":
+        cm, nh = (list(args) + [2048, 8])[:2] if args else (2048, 8)
+        return L.AIFI(cm=cm, num_heads=nh, name=name)
     if m == "Concat":
         return L.Concat(name=name)
     if m == "nn.Upsample":
@@ -144,6 +147,9 @@ class TAMTRModel(nn.Module):
     head_type: str = "ManbaWorldDecoder"
     max_gt: int = 128
     scan_chunk: int = 128
+    # CDN denoising budget (reference `num_denoising=100`, head.py:1015);
+    # dn group count = max(1, num_denoising // max_gt)
+    num_denoising: int = 100
     wire_text_attn: bool = False
     # deploy=True switches RepConvN blocks to their fused single-conv form
     # (params from `tamtr_tpu.nn.fuse.fuse_repconv_variables`)
@@ -157,6 +163,13 @@ class TAMTRModel(nn.Module):
     # the loss stay fp32 (the reference trains amp=False — bf16 here is a
     # TPU-native speed option, off by default)
     dtype: Any = jnp.float32
+
+    @property
+    def uses_text(self) -> bool:
+        """True when the head consumes text embeddings (contrastive scores)."""
+        return self.head_type == "ManbaWorldDecoder" and (
+            len(self.head_args) <= 6 or bool(self.head_args[6])
+        )
 
     @classmethod
     def from_yaml(cls, path: str | Path, nc: Optional[int] = None, **kw) -> "TAMTRModel":
@@ -226,7 +239,13 @@ class TAMTRModel(nn.Module):
 
             return Classify(nc=self.nc, name="head")(feats, train)
         nc_h, hd, nq, ndp, nh, ndl = self.head_args[:6]
-        use_text = bool(self.head_args[6]) if len(self.head_args) > 6 else True
+        if self.head_type == "RTDETRDecoder":
+            # plain RT-DETR decoder (reference `head.py:174-436`): same
+            # deformable decoder + CDN machinery, no VSS mixers, Linear heads
+            use_text, use_vss = False, False
+        else:
+            use_text = bool(self.head_args[6]) if len(self.head_args) > 6 else True
+            use_vss = True
         head = ManbaWorldDecoder(
             nc=self.nc,
             ch=tuple(f.shape[-1] for f in feats),
@@ -237,7 +256,9 @@ class TAMTRModel(nn.Module):
             ndl=ndl,
             max_gt=self.max_gt,
             scan_chunk=self.scan_chunk,
+            num_denoising=self.num_denoising,
             use_text=use_text,
+            use_vss=use_vss,
             remat=self.remat,
             name="head",
         )

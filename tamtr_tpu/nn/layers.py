@@ -305,6 +305,60 @@ class CPAM(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
+class AIFI(nn.Module):
+    """Intra-scale feature interaction: one transformer encoder layer with a
+    2-D sin-cos positional embedding (reference `AIFI`,
+    `nn/modules/transformer.py:74-104`; encoder layer `:18-72`, post-norm,
+    GELU FFN). Applied to the deepest feature map in RT-DETR.
+    """
+
+    cm: int = 2048
+    num_heads: int = 8
+
+    @staticmethod
+    def sincos_2d(w: int, h: int, dim: int, temperature: float = 10000.0) -> jnp.ndarray:
+        """(1, w*h, dim) — replicates the reference's (w, h) 'ij' meshgrid
+        flatten order exactly (transformer.py:89-104)."""
+        import numpy as np
+
+        assert dim % 4 == 0, "AIFI embed dim must be divisible by 4"
+        gw, gh = np.meshgrid(
+            np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32), indexing="ij"
+        )
+        pos_dim = dim // 4
+        omega = 1.0 / (temperature ** (np.arange(pos_dim, dtype=np.float32) / pos_dim))
+        out_w = gw.reshape(-1)[:, None] * omega[None]
+        out_h = gh.reshape(-1)[:, None] * omega[None]
+        pos = np.concatenate(
+            [np.sin(out_w), np.cos(out_w), np.sin(out_h), np.cos(out_h)], axis=1
+        )
+        return jnp.asarray(pos[None], jnp.float32)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        nh = self.num_heads
+        d = C // nh
+        tokens = x.reshape(B, H * W, C)  # h-major, matches torch flatten(2)
+        pos = self.sincos_2d(W, H, C).astype(tokens.dtype)
+        q = k = tokens + pos
+        qp = nn.Dense(C, name="q_proj")(q).reshape(B, -1, nh, d)
+        kp = nn.Dense(C, name="k_proj")(k).reshape(B, -1, nh, d)
+        vp = nn.Dense(C, name="v_proj")(tokens).reshape(B, -1, nh, d)
+        import math as _math
+
+        att = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / _math.sqrt(d), axis=-1
+        )
+        sa = jnp.einsum("bhqk,bkhd->bqhd", att, vp).reshape(B, -1, C)
+        sa = nn.Dense(C, name="out_proj")(sa)
+        tokens = nn.LayerNorm(name="norm1")(tokens + sa)
+        ff = nn.Dense(self.cm, name="fc1")(tokens)
+        ff = nn.Dense(C, name="fc2")(nn.gelu(ff))
+        tokens = nn.LayerNorm(name="norm2")(tokens + ff)
+        return tokens.reshape(B, H, W, C)
+
+
 class Upsample(nn.Module):
     """torch `nn.Upsample(scale_factor=s, mode='nearest')` for s in {2, 0.5}."""
 

@@ -126,11 +126,13 @@ def unravel_for(shapes_tree) -> Callable:
     return unravel
 
 
-def unravel_for_model(model, nc: int, max_gt: int = 8) -> Callable:
+def unravel_for_model(model, nc: int, max_gt: Optional[int] = None) -> Callable:
     """Reconstruct the params unravel for a model without weights in hand
     (e.g. when loading a flat checkpoint): abstract-init on tiny shapes
     (parameter shapes are input-size independent) in TRAIN mode so the
-    denoising-branch params exist."""
+    denoising-branch params exist. `max_gt` must match the model's CDN
+    layout; defaults to the model's own max_gt."""
+    max_gt = max_gt or getattr(model, "max_gt", 8)
     k = jax.random.PRNGKey(0)
     img = jnp.zeros((1, 64, 64, 3), jnp.float32)
     txt = jnp.zeros((1, max(nc, 1), 512), jnp.float32)
@@ -346,11 +348,16 @@ def create_train_state(
     n_text: Optional[int] = None,
     steps_per_epoch: int = 1000,
     max_gt: int = 128,
+    text_dim: int = 512,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    """Initialize model variables + optimizer (jit the init for speed)."""
+    """Initialize model variables + optimizer (jit the init for speed).
+
+    `text_dim` must equal the head hidden dim `hd` (the reference
+    contrastive heads dot text and region embeds directly, `block.py:522-541`
+    — CLIP ViT-B/32 gives 512, matching TAM-TR's hd=512)."""
     n_text = n_text or nc
     img = jnp.zeros(img_shape, jnp.float32)
-    txt = jnp.zeros((img_shape[0], n_text, 512), jnp.float32)
+    txt = jnp.zeros((img_shape[0], n_text, text_dim), jnp.float32)
     targets = {
         "cls": jnp.zeros((img_shape[0], max_gt), jnp.int32),
         "bboxes": jnp.full((img_shape[0], max_gt, 4), 0.5, jnp.float32),

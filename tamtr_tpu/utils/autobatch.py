@@ -50,6 +50,94 @@ def compiled_peak_bytes(step_fn: Callable, make_args: Callable[[int], tuple], ba
         return None
 
 
+def autobatch_train(
+    model,
+    loss_callable,
+    train_cfg,
+    nc: int,
+    imgsz: int,
+    max_gt: int,
+    text_dim: int = 512,
+    fraction: float = DEFAULT_FRACTION,
+    max_batch: int = 64,
+    default: int = 4,
+) -> int:
+    """Fit the batch to the REAL jitted train step's peak memory.
+
+    The reference profiles forward+backward in train mode
+    (`utils/autobatch.py` + `profile()`); probing only the eval forward
+    under-estimates peak HBM several-fold (remat'ed activation temps +
+    flat optimizer state) and the fitted batch then OOMs the train step.
+    Builds an abstract TrainState (ShapeDtypeStructs; nothing allocated)
+    and AOT-compiles the actual `make_train_step` function per batch.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tamtr_tpu.train.trainer import (
+        FlatOptState,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+        unravel_for,
+    )
+
+    if device_memory_bytes() is None:
+        return default
+
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "cdn": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+
+    def _batch_shapes(b: int):
+        sds = lambda sh, dt=jnp.float32: jax.ShapeDtypeStruct(sh, dt)
+        return {
+            "img": sds((b, imgsz, imgsz, 3)),
+            "txt_feats": sds((b, max(nc, 1), text_dim)),
+            "cls": sds((b, max_gt), jnp.int32),
+            "bboxes": sds((b, max_gt, 4)),
+            "mask": sds((b, max_gt), jnp.bool_),
+        }
+
+    bs1 = _batch_shapes(1)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            rngs,
+            jnp.zeros((1, imgsz, imgsz, 3)),
+            jnp.zeros((1, max(nc, 1), text_dim)),
+            {
+                "cls": jnp.zeros((1, max_gt), jnp.int32),
+                "bboxes": jnp.full((1, max_gt, 4), 0.5),
+                "mask": jnp.zeros((1, max_gt), bool),
+            },
+            True,
+        )
+    )
+    params_sds = shapes["params"]
+    batch_stats_sds = shapes.get("batch_stats", {})
+    leaves = jax.tree_util.tree_leaves(params_sds)
+    P = int(sum(np.prod(l.shape) for l in leaves))
+    flat = jax.ShapeDtypeStruct((P,), jnp.float32)
+    flatb = jax.ShapeDtypeStruct((P,), jnp.bool_)
+    scalar_i = jax.ShapeDtypeStruct((), jnp.int32)
+    opt_sds = FlatOptState(scalar_i, scalar_i, scalar_i, flat, flat, flat, flatb, flatb)
+    state_sds = TrainState(
+        step=scalar_i, params=flat, batch_stats=batch_stats_sds, opt_state=opt_sds,
+        ema_params=flat, ema_batch_stats=batch_stats_sds, unravel=unravel_for(params_sds),
+    )
+    tx = make_optimizer(train_cfg, params_sds, steps_per_epoch=100)
+    step_fn = make_train_step(model, tx, None, train_cfg, loss_callable=loss_callable)
+
+    def make_args(b: int):
+        return (state_sds, _batch_shapes(b), jax.random.PRNGKey(3))
+
+    return autobatch(
+        step_fn, make_args, fraction=fraction, max_batch=max_batch, default=default
+    )
+
+
 def autobatch(
     step_fn: Callable,
     make_args: Callable[[int], tuple],

@@ -1,0 +1,108 @@
+"""Torch-weight porter tests against the ACTUAL reference module tree.
+
+Constructs the reference `RTDETRDetectionWorldModel` (CPU, import shims from
+tools/refstubs.py), ports its state_dict with tools/port_torch_weights.py,
+and checks (a) 100% bidirectional name+shape coverage and (b) numeric
+forward parity of the ported backbone+neck (graph layers 0-40; the head's
+selective-scan has no CPU path in the reference, SURVEY A.10).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference tree unavailable")
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    torch = pytest.importorskip("torch")
+    from tools.refstubs import install_reference_stubs
+
+    install_reference_stubs(str(REF))
+    from ultralytics.nn.tasks import RTDETRDetectionWorldModel
+
+    m = RTDETRDetectionWorldModel(
+        str(REF / "ultralytics/cfg/models/TAMTR/TAMTR.yaml"), nc=10, verbose=False
+    )
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def ported(ref_model):
+    from tamtr_tpu.nn.graph import TAMTRModel
+    from tools.port_torch_weights import port_state_dict
+
+    sd = {k: v.float().numpy() for k, v in ref_model.state_dict().items()}
+    model = TAMTRModel.from_yaml("tamtr.yaml", nc=10)
+    params, batch_stats, report = port_state_dict(sd, model)
+    return model, params, batch_stats, report
+
+
+def test_full_name_and_shape_coverage(ported):
+    _, _, _, report = ported
+    for key, items in report.items():
+        assert not items, f"{key}: {len(items)} problems; first: {items[:5]}"
+
+
+def test_backbone_neck_forward_parity(ref_model, ported):
+    """Ported weights reproduce the reference backbone+neck on a fixed image."""
+    import torch
+
+    model, params, batch_stats, _ = ported
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 64, 64, 3), dtype=np.float32)
+    txt = rng.standard_normal((1, 10, 512)).astype(np.float32)
+
+    # reference forward through layers 0..40 (replicates the predict loop,
+    # reference tasks.py:643-670)
+    ref_feats = {}
+    with torch.no_grad():
+        x = torch.from_numpy(img.transpose(0, 3, 1, 2)).contiguous()
+        t = torch.from_numpy(txt)
+        y = []
+        for m in ref_model.model[:-1]:
+            if m.f != -1:
+                x = y[m.f] if isinstance(m.f, int) else [
+                    x if j == -1 else y[j] for j in m.f
+                ]
+            if type(m).__name__ == "TIAGELAN":
+                x = m(x, t)
+            else:
+                x = m(x)
+            y.append(x if m.i in ref_model.save else None)
+        head_from = ref_model.model[-1].f
+        for j in head_from:
+            ref_feats[j] = y[j].numpy()
+
+    import jax.numpy as jnp
+
+    feats = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(img), jnp.asarray(txt), None, False, features_only=True,
+    )
+    for lvl, j in enumerate(sorted(ref_feats)):
+        ours = np.asarray(feats[lvl]).transpose(0, 3, 1, 2)  # NHWC -> NCHW
+        ref = ref_feats[j]
+        assert ours.shape == ref.shape, (lvl, ours.shape, ref.shape)
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_linear_and_embedding_orientation(ported):
+    """Spot-check transpose rules: linear kernels transposed, embedding not."""
+    model, params, _, _ = ported
+    # denoising class embed: (nc + 1, hd) row-major table
+    assert params["head"]["denoising_class_embed"].shape == (11, 512)
+    # enc_score_head: torch (10, 512) -> flax kernel (512, 10)
+    assert params["head"]["enc_score_head"]["kernel"].shape == (512, 10)
+    # qkv split from in_proj: three (512, 512) kernels
+    sa = params["head"]["layer0"]["self_attn"]
+    for k in ("q_proj", "k_proj", "v_proj"):
+        assert sa[k]["kernel"].shape == (512, 512)
+        assert sa[k]["bias"].shape == (512,)
