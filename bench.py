@@ -1,7 +1,16 @@
-"""Headline benchmark: 640px images/sec/chip, eval forward, real value fetch.
+"""Headline benchmark: 640px images/sec/chip, eval forward + train step.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "train_img_per_sec": N, "train_step_ms": N}
+
+The train-step measurement runs the REAL jitted train step (full TAM-TR
+recipe shapes: batch 4, 640px, max_gt 300, remat, flat AdamW+EMA, batched
+auction matching) — the metric that governs end-to-end trainTAMTR wall
+clock. Its first-ever compile takes ~10 min on the axon runtime; the
+persistent compilation cache (`setup_jax`) makes subsequent runs start in
+seconds, and this repo ships with the cache warmed for exactly these
+shapes.
 
 Methodology notes:
 - every timed iteration fetches the predictions to host (`jax.device_get`) —
@@ -82,6 +91,7 @@ def main() -> None:
         best = min(best, (time.perf_counter() - t0) / ITERS)
     ips = BATCH / best
 
+    train_ips, train_ms = measure_train_step()
     print(
         json.dumps(
             {
@@ -89,9 +99,53 @@ def main() -> None:
                 "value": round(ips, 2),
                 "unit": "img/s",
                 "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 2),
+                "train_img_per_sec": round(train_ips, 2),
+                "train_step_ms": round(train_ms, 1),
             }
         )
     )
+
+
+def measure_train_step():
+    """Steady-state full train step at the TAM-TR recipe shapes.
+
+    NOTE: the constants here (batch, max_gt, warmup, epochs, steps/epoch)
+    are baked into the jitted program; keep them in sync with the
+    cache-warming runs or the first call pays the ~10 min compile.
+    """
+    from tamtr_tpu.losses.detr_loss import DETRLossConfig
+    from tamtr_tpu.nn.graph import TAMTRModel
+    from tamtr_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
+
+    B, M, nc, sz = 4, 300, 10, 640
+    model = TAMTRModel.from_yaml("tamtr.yaml", nc=nc, max_gt=M, remat=True)
+    cfg = TrainConfig(batch_size=B, warmup_iters=100, epochs=10, accumulate=1)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), cfg, (B, sz, sz, 3), nc,
+        steps_per_epoch=100, max_gt=M,
+    )
+    step = jax.jit(
+        make_train_step(model, tx, DETRLossConfig(nc=nc), cfg), donate_argnums=(0,)
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.random((B, sz, sz, 3), dtype=np.float32)),
+        "txt_feats": jnp.asarray(rng.standard_normal((B, nc, 512)).astype(np.float32)),
+        "cls": jnp.asarray(rng.integers(0, nc, (B, M)).astype(np.int32)),
+        "bboxes": jnp.asarray(
+            np.clip(rng.random((B, M, 4)), 0.05, 0.95).astype(np.float32)
+        ),
+        "mask": jnp.asarray(np.arange(M)[None] < 40).astype(bool).repeat(B, 0),
+    }
+    state, m = step(state, batch, jax.random.PRNGKey(1))  # compile + warmup
+    float(m["loss"])
+    best = float("inf")
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+        float(m["loss"])  # fetch forces completion under axon
+        best = min(best, time.perf_counter() - t0)
+    return BATCH / best, best * 1000.0
 
 
 if __name__ == "__main__":

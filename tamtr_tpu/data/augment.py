@@ -87,12 +87,15 @@ def letterbox(
 def mosaic4(
     samples: Sequence[Sample], size: int, rng: np.random.Generator, color: int = 114
 ) -> Sample:
-    """4-image mosaic on a 2s x 2s canvas (`augment.py:192-307`)."""
+    """4-image mosaic on a 2s x 2s canvas (`augment.py:192-307`); segments
+    and keypoints ride along with the same (padw, padh) shift."""
     s = size
     yc = int(rng.uniform(s * 0.5, s * 1.5))
     xc = int(rng.uniform(s * 0.5, s * 1.5))
     canvas = np.full((2 * s, 2 * s, 3), color, dtype=np.uint8)
-    all_boxes, all_cls = [], []
+    any_segs = any(smp.segments is not None for smp in samples[:4])
+    any_kpts = any(smp.keypoints is not None for smp in samples[:4])
+    all_boxes, all_cls, all_segs, all_kpts = [], [], [], []
     for i, smp in enumerate(samples[:4]):
         img = smp.img
         h, w = img.shape[:2]
@@ -114,16 +117,30 @@ def mosaic4(
             b = smp.boxes + np.array([padw, padh, padw, padh], dtype=np.float32)
             all_boxes.append(b)
             all_cls.append(smp.cls)
+            if any_segs:
+                segs = smp.segments or [
+                    np.zeros((0, 2), np.float32) for _ in range(len(smp.boxes))
+                ]
+                all_segs += [p + np.array([padw, padh], np.float32) for p in segs]
+            if any_kpts and smp.keypoints is not None:
+                k = smp.keypoints.copy()
+                k[..., 0] += padw
+                k[..., 1] += padh
+                all_kpts.append(k)
     if all_boxes:
         boxes = np.concatenate(all_boxes, 0)
         cls = np.concatenate(all_cls, 0)
         boxes = boxes.clip(0, 2 * s)
         keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         boxes, cls = boxes[keep], cls[keep]
+        segs = [p for p, k in zip(all_segs, keep) if k] if any_segs else None
+        kpts = (np.concatenate(all_kpts, 0)[keep] if all_kpts else None) if any_kpts else None
     else:
         boxes = np.zeros((0, 4), np.float32)
         cls = np.zeros((0,), np.int32)
-    return Sample(canvas, boxes, cls)
+        segs = [] if any_segs else None
+        kpts = np.zeros((0, 17, 3), np.float32) if any_kpts else None
+    return Sample(canvas, boxes, cls, segs, kpts)
 
 
 def random_perspective(
@@ -168,20 +185,55 @@ def random_perspective(
             img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
 
     boxes, cls = sample.boxes, sample.cls
+    segs, kpts = sample.segments, sample.keypoints
     n = len(boxes)
     if n:
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
-        xy = xy @ M.T
-        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], 1).astype(np.float32)
+        def warp_pts(pts):  # (k, 2) -> (k, 2)
+            z = np.ones((len(pts), 3))
+            z[:, :2] = pts
+            z = z @ M.T
+            return (z[:, :2] / z[:, 2:3] if perspective else z[:, :2]).astype(np.float32)
+
+        if segs is not None and len(segs) == n and any(len(p) for p in segs):
+            # segment path (reference `apply_segments`, augment.py:450-472):
+            # warp polygon points, box = warped polygon extent
+            segs = [warp_pts(p) if len(p) else p for p in segs]
+            new = np.zeros((n, 4), np.float32)
+            for i, p in enumerate(segs):
+                if len(p):
+                    new[i] = [p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max()]
+        else:
+            xy = np.ones((n * 4, 3))
+            xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+            xy = xy @ M.T
+            xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+            x = xy[:, [0, 2, 4, 6]]
+            y = xy[:, [1, 3, 5, 7]]
+            new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], 1).astype(np.float32)
         new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
         new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
-        keep = _box_candidates(boxes.T * s, new.T)
+        if kpts is not None and len(kpts) == n:
+            # keypoint path (reference `apply_keypoints`, augment.py:474-495):
+            # warp (x, y); visibility -> 0 outside the output canvas
+            flat = kpts[..., :2].reshape(-1, 2)
+            warped = warp_pts(flat).reshape(kpts.shape[0], kpts.shape[1], 2)
+            vis = kpts[..., 2:].copy() if kpts.shape[-1] > 2 else np.ones(kpts.shape[:2] + (1,), np.float32)
+            out = (
+                (warped[..., 0] < 0) | (warped[..., 0] > width)
+                | (warped[..., 1] < 0) | (warped[..., 1] > height)
+            )
+            vis[out[..., None].repeat(vis.shape[-1], -1)] = 0.0
+            kpts = np.concatenate([warped, vis], -1).astype(np.float32)
+        # candidate filter: area_thr 0.01 with segments (reference :547-566)
+        keep = _box_candidates(
+            boxes.T * s, new.T, area_thr=0.01 if segs is not None else 0.1
+        )
         boxes, cls = new[keep], cls[keep]
-    return Sample(img, boxes, cls)
+        if segs is not None and len(segs) == n:
+            segs = [p for p, k in zip(segs, keep) if k]
+        if kpts is not None:
+            kpts = kpts[keep]
+    return Sample(img, boxes, cls, segs, kpts, sample.texts)
 
 
 def _box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
@@ -306,7 +358,8 @@ def random_hsv(
         lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
         img = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
         img = cv2.cvtColor(img, cv2.COLOR_HSV2BGR)
-        return Sample(img, sample.boxes, sample.cls)
+        return Sample(img, sample.boxes, sample.cls, sample.segments,
+                      sample.keypoints, sample.texts)
     return sample
 
 
@@ -332,7 +385,7 @@ def random_flip(
             segs = [np.stack([w - p[:, 0], p[:, 1]], -1) for p in segs]
         if kpts is not None:
             kpts[..., 0] = w - kpts[..., 0]
-    return Sample(np.ascontiguousarray(img), boxes, sample.cls, segs, kpts)
+    return Sample(np.ascontiguousarray(img), boxes, sample.cls, segs, kpts, sample.texts)
 
 
 def mixup(sample1: Sample, sample2: Sample, rng: np.random.Generator) -> Sample:
@@ -341,8 +394,19 @@ def mixup(sample1: Sample, sample2: Sample, rng: np.random.Generator) -> Sample:
     img = (sample1.img.astype(np.float32) * r + sample2.img.astype(np.float32) * (1 - r)).astype(
         np.uint8
     )
+    segs = None
+    if sample1.segments is not None or sample2.segments is not None:
+        s1 = sample1.segments or [np.zeros((0, 2), np.float32) for _ in sample1.cls]
+        s2 = sample2.segments or [np.zeros((0, 2), np.float32) for _ in sample2.cls]
+        segs = list(s1) + list(s2)
+    kpts = None
+    if sample1.keypoints is not None and sample2.keypoints is not None:
+        kpts = np.concatenate([sample1.keypoints, sample2.keypoints], 0)
     return Sample(
         img,
         np.concatenate([sample1.boxes, sample2.boxes], 0),
         np.concatenate([sample1.cls, sample2.cls], 0),
+        segs,
+        kpts,
+        sample1.texts,
     )

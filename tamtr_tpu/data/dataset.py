@@ -238,15 +238,9 @@ class DetectionDataset:
         """Load + augment one sample at imgsz (stretch/scaleFill path)."""
         rng = rng or self._rng
         s = self.imgsz
-        if self.augment and self.task != "detect":
-            # segment/pose: geometric warps of polygons/keypoints are not
-            # wired yet (ROADMAP); stretch + CopyPaste + HSV + flips only
-            smp = A.stretch_resize(self._read(i), s)
-            smp = A.copy_paste(smp, rng, self.aug.copy_paste)
-            smp = A.random_hsv(smp, rng, self.aug.hsv_h, self.aug.hsv_s, self.aug.hsv_v)
-            smp = A.random_flip(smp, rng, self.aug.fliplr, self.aug.flipud)
-            return self._load_text(smp, rng)
         if self.augment:
+            # one pipeline for all tasks (reference v8_transforms): segments
+            # and keypoints ride through mosaic/copy-paste/perspective/flips
             if self._mosaic_on and rng.random() < self.aug.mosaic:
                 idxs = [i] + list(rng.integers(0, len(self), 3))
                 parts = [A.stretch_resize(self._read(j), s) for j in idxs]

@@ -227,6 +227,64 @@ class DeformableDecoderLayer(nn.Module):
         return nn.LayerNorm(name="norm3")(embed + ff)
 
 
+class DecouplingDecoderLayer(nn.Module):
+    """Decoupled cls/box decoder layer, two ablation forms:
+
+    - mode="decouple" (`transformer.py: DecouplingDeformableTransformerDecoderLayer`):
+      two CARRIED streams — cls stream gets self-attn + its own deformable
+      cross-attn + FFN; box stream gets only its own cross-attn + FFN.
+    - mode="dfl" (`DecouplingDFLDeformableTransformerDecoderLayer`): single
+      carried cls stream; the box stream is REBUILT each layer from the dn
+      part of the query pos + the matching part of the cls stream, then gets
+      its own self-attn / cross-attn / FFN. (Despite the name, the reference
+      keeps plain 4-coordinate MLP box heads — no distributional decode.)
+    """
+
+    d_model: int
+    n_heads: int
+    d_ffn: int
+    n_levels: int
+    n_points: int
+    mode: str = "decouple"
+    num_dn: int = 0
+
+    @nn.compact
+    def __call__(self, embed, embed_box, refer_bbox, feats, shapes, attn_mask, query_pos):
+        query_pos = query_pos.astype(embed.dtype)
+        q = k = embed + query_pos
+        tgt = MultiHeadSelfAttention(self.n_heads, name="self_attn1")(q, k, embed, attn_mask)
+        embed = nn.LayerNorm(name="norm1")(embed + tgt)
+
+        if self.mode == "dfl":
+            if self.num_dn:
+                dn_pos = query_pos[:, : self.num_dn]
+                topk_feat = embed[:, self.num_dn :]
+                embed_box = jnp.concatenate([dn_pos, topk_feat], axis=1)
+            else:
+                embed_box = embed
+            tgt2 = MultiHeadSelfAttention(self.n_heads, name="self_attn2")(
+                q, k, embed_box, attn_mask
+            )
+            embed_box = nn.LayerNorm(name="norm2")(embed_box + tgt2)
+
+        tgt = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn_cls"
+        )(embed + query_pos, refer_bbox, feats, shapes)
+        embed = nn.LayerNorm(name="norm3")(embed + tgt)
+        tgt = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn_box"
+        )(embed_box + query_pos, refer_bbox, feats, shapes)
+        embed_box = nn.LayerNorm(name="norm4")(embed_box + tgt)
+
+        ff = nn.Dense(self.d_ffn, name="linear1")(embed)
+        ff = nn.Dense(self.d_model, name="linear2")(nn.relu(ff))
+        embed = nn.LayerNorm(name="norm5")(embed + ff)
+        ff = nn.Dense(self.d_ffn, name="linear3")(embed_box)
+        ff = nn.Dense(self.d_model, name="linear4")(nn.relu(ff))
+        embed_box = nn.LayerNorm(name="norm6")(embed_box + ff)
+        return embed, embed_box
+
+
 # --------------------------------------------------------------------------
 # Static-shape contrastive denoising (CDN)
 # --------------------------------------------------------------------------
@@ -352,6 +410,10 @@ class ManbaWorldDecoder(nn.Module):
     # per-level VSS mixers (TAM-TR's MEH head) vs plain RT-DETR decoder
     # (reference `RTDETRDecoder`, head.py:174-436, has no mixers)
     use_vss: bool = True
+    # decoder-layer variant: "base" | "decouple" | "dfl" (the reference's
+    # DecouplingManbaWorldDecoder / DecouplingDFLManbaWorldDecoder ablations,
+    # head.py:1630-2244)
+    variant: str = "base"
     # rematerialize the per-level VSS mixers in the backward pass
     remat: bool = False
 
@@ -504,13 +566,22 @@ class ManbaWorldDecoder(nn.Module):
                 output.astype(jnp.float32)
             )
 
+        output_box = output  # second stream for the decoupled variants
         for i in range(self.ndl):
             pos = query_pos_head(refer)
-            output = DeformableDecoderLayer(
-                self.hd, self.nh, self.d_ffn, nl, self.ndp, name=f"layer{i}"
-            )(output, refer, flat, shapes, attn_mask, pos)
+            if self.variant in ("decouple", "dfl"):
+                output, output_box = DecouplingDecoderLayer(
+                    self.hd, self.nh, self.d_ffn, nl, self.ndp,
+                    mode=self.variant, num_dn=num_dn, name=f"layer{i}",
+                )(output, output_box, refer, flat, shapes, attn_mask, pos)
+                box_src = output_box
+            else:
+                output = DeformableDecoderLayer(
+                    self.hd, self.nh, self.d_ffn, nl, self.ndp, name=f"layer{i}"
+                )(output, refer, flat, shapes, attn_mask, pos)
+                box_src = output
             bbox_delta = MLP(self.hd, 4, 3, last_zero=True, name=f"dec_bbox_head{i}")(
-                output.astype(jnp.float32)
+                box_src.astype(jnp.float32)
             )
             refined = jax.nn.sigmoid(bbox_delta + inverse_sigmoid(refer))
             if train:

@@ -71,7 +71,11 @@ def parse_graph(cfg: Dict[str, Any], nc: Optional[int] = None):
         n = max(round(n * gd), 1) if n > 1 else n
         args = [nc if a == "nc" else a for a in args]
         args = [tuple(a) if isinstance(a, list) else a for a in args]  # hashable
-        if m in ("ManbaWorldDecoder", "RTDETRDecoder", "Detect", "Segment", "Pose", "Classify"):
+        if m in (
+            "ManbaWorldDecoder", "RTDETRDecoder", "ManbaDecoder",
+            "DecouplingManbaWorldDecoder", "DecouplingDFLManbaWorldDecoder",
+            "Detect", "Segment", "Pose", "Classify",
+        ):
             assert i == n_layers - 1, "head must be last"
             head_spec = (tuple(f), tuple(args))
             head_type = m
@@ -167,9 +171,11 @@ class TAMTRModel(nn.Module):
     @property
     def uses_text(self) -> bool:
         """True when the head consumes text embeddings (contrastive scores)."""
-        return self.head_type == "ManbaWorldDecoder" and (
-            len(self.head_args) <= 6 or bool(self.head_args[6])
-        )
+        return self.head_type in (
+            "ManbaWorldDecoder",
+            "DecouplingManbaWorldDecoder",
+            "DecouplingDFLManbaWorldDecoder",
+        ) and (len(self.head_args) <= 6 or bool(self.head_args[6]))
 
     @classmethod
     def from_yaml(cls, path: str | Path, nc: Optional[int] = None, **kw) -> "TAMTRModel":
@@ -239,13 +245,21 @@ class TAMTRModel(nn.Module):
 
             return Classify(nc=self.nc, name="head")(feats, train)
         nc_h, hd, nq, ndp, nh, ndl = self.head_args[:6]
+        variant = "base"
         if self.head_type == "RTDETRDecoder":
             # plain RT-DETR decoder (reference `head.py:174-436`): same
             # deformable decoder + CDN machinery, no VSS mixers, Linear heads
             use_text, use_vss = False, False
+        elif self.head_type == "ManbaDecoder":
+            # text-free MEH head (reference `head.py:723-1003`)
+            use_text, use_vss = False, True
         else:
             use_text = bool(self.head_args[6]) if len(self.head_args) > 6 else True
             use_vss = True
+            if self.head_type == "DecouplingManbaWorldDecoder":
+                variant = "decouple"  # reference head.py:1630-1955
+            elif self.head_type == "DecouplingDFLManbaWorldDecoder":
+                variant = "dfl"  # reference head.py:1957-2244
         head = ManbaWorldDecoder(
             nc=self.nc,
             ch=tuple(f.shape[-1] for f in feats),
@@ -259,6 +273,7 @@ class TAMTRModel(nn.Module):
             num_denoising=self.num_denoising,
             use_text=use_text,
             use_vss=use_vss,
+            variant=variant,
             remat=self.remat,
             name="head",
         )

@@ -126,3 +126,36 @@ def test_encode_texts_tool_refuses_without_checkpoint(tmp_path):
 
     rc = main(["--texts", "x", "--out", str(tmp_path / "no.npz")])
     assert rc == 1 and not (tmp_path / "no.npz").exists()
+
+
+def test_perspective_warps_segments_and_keypoints():
+    rng = np.random.default_rng(3)
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array([[10, 10, 30, 30]], np.float32)
+    segs = [np.array([[10, 10], [30, 10], [30, 30], [10, 30]], np.float32)]
+    kpts = np.array([[[20, 20, 1.0], [200, 20, 1.0]]], np.float32)  # 2nd kpt off-canvas after warp
+    smp = A.Sample(img, boxes, np.array([1], np.int32), segments=segs, keypoints=kpts)
+    out = A.random_perspective(smp, rng, degrees=0, translate=0.0, scale=0.0, shear=0.0)
+    # identity-ish transform (scale=0 => s=1): geometry preserved
+    assert out.segments is not None and len(out.segments) == len(out.cls)
+    np.testing.assert_allclose(out.segments[0], segs[0], atol=1e-3)
+    np.testing.assert_allclose(out.boxes[0], boxes[0], atol=1e-3)
+    assert out.keypoints is not None
+    # off-canvas keypoint visibility zeroed
+    assert out.keypoints[0, 1, 2] == 0.0
+    assert out.keypoints[0, 0, 2] == 1.0
+
+
+def test_mosaic_carries_segments():
+    rng = np.random.default_rng(0)
+    parts = []
+    for _ in range(4):
+        img = np.full((32, 32, 3), 50, np.uint8)
+        boxes = np.array([[4, 4, 28, 28]], np.float32)
+        segs = [np.array([[4, 4], [28, 4], [28, 28], [4, 28]], np.float32)]
+        parts.append(A.Sample(img, boxes, np.array([0], np.int32), segments=segs))
+    out = A.mosaic4(parts, 32, rng)
+    assert out.segments is not None
+    assert len(out.segments) == len(out.cls) == len(out.boxes)
+    for p, b in zip(out.segments, out.boxes):
+        assert p.shape[-1] == 2
