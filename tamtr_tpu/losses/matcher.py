@@ -77,10 +77,15 @@ def auction_match(
     )  # (B,)
     # Single phase from zero prices. Price carry-over between eps-scaling
     # phases is unsound for rectangular problems (stale prices on unassigned
-    # queries break the eps-CS duality bound), and with nq >= #valid-gts the
+    # queries break the eps-CS duality bound), and with nq >> #valid-gts the
     # auction is lightly contested and converges in a few rounds even with a
-    # small eps, so scaling buys nothing.
-    eps_vec = spread * 1e-3  # (B,)
+    # small eps, so scaling buys nothing. CONTESTED images (#valid close to
+    # nq — crowded VisDrone frames) need ~spread/eps rounds to fully assign;
+    # there a coarser eps keeps convergence inside max_rounds at a bounded
+    # n*eps optimality loss (~2% of a typical optimum at eps=1e-2*spread).
+    n_valid = gt_mask.sum(axis=1).astype(jnp.float32)  # (B,)
+    contested = n_valid >= 0.7 * nq
+    eps_vec = spread * jnp.where(contested, 1e-2, 1e-3)  # (B,)
 
     def one_phase(state, eps):
         price, owner_q, assigned = state

@@ -162,3 +162,41 @@ def test_auction_overfull(rng):
     assert len(np.unique(assigned)) == len(assigned)
     assert len(assigned) <= nq
     assert len(assigned) >= nq - 1  # auction should saturate the queries
+
+
+def test_auction_production_shapes_training_costs(rng):
+    """Auction vs scipy at PRODUCTION shapes (nq=100, max_gt=300) with
+    training-like cost distributions (VERDICT r1 weak #6): the DETR cost is
+    dominated by focal-class terms near 0 plus L1/RIOU in [0, ~9]."""
+    from scipy.optimize import linear_sum_assignment
+
+    from tamtr_tpu.losses.matcher import auction_match
+
+    B, nq, M = 4, 100, 300
+    # training-like: cls cost ~ N(0, 0.3), box L1 in [0, 4] * 5, riou in [0, 2] * 2
+    cost = (
+        rng.normal(0, 0.3, size=(B, nq, M))
+        + 5.0 * rng.uniform(0, 0.8, size=(B, nq, M))
+        + 2.0 * rng.uniform(0, 1.0, size=(B, nq, M))
+    ).astype(np.float32)
+    valid_counts = [40, 100, 1, 300]  # typical, nq==M_valid, singleton, over-full
+    mask = np.zeros((B, M), bool)
+    for b, n in enumerate(valid_counts):
+        mask[b, :n] = True
+    got = np.asarray(auction_match(jnp.asarray(cost), jnp.asarray(mask)))
+    for b, n in enumerate(valid_counts):
+        q = got[b, :n]
+        assigned = q[q >= 0]
+        assert len(np.unique(assigned)) == len(assigned), "duplicate queries"
+        if n <= nq:
+            assert (q >= 0).all(), f"image {b}: unassigned gt with nq >= n"
+            rows, cols = linear_sum_assignment(cost[b, :, :n])
+            opt = cost[b, rows, cols].sum()
+            auc = cost[b, q, np.arange(n)].sum()
+            # contested (n ~ nq) images run the coarse-eps phase: <= ~2.5%
+            tol = 0.025 if n >= 0.7 * nq else 0.01
+            assert auc <= opt + tol * abs(opt) + 0.05, (b, auc, opt)
+        else:
+            # over-full image: all nq queries consumed (reference
+            # min(nq, num_gt) matching behavior)
+            assert len(assigned) == nq
