@@ -85,6 +85,10 @@ class Config:
     # rematerialize graph layers in the train backward (activation memory
     # O(layer inputs) instead of ~14GB at 640px b4; ~30% recompute)
     remat: bool = True
+    # size-aware selective remat: skip remat on layers whose per-item input
+    # activation (H*W*C) is below this. 0 (remat every heavy layer) measured
+    # fastest at 640px b4 — the backward is HBM-bound; see nn/graph.py.
+    remat_min_elems: int = 0
     agnostic_nms: bool = False
     classes: Optional[List[int]] = None
     retina_masks: bool = False

@@ -122,6 +122,7 @@ class Engine:
             probe = TAMTRModel.from_yaml(
                 self.model_cfg, nc=nc, max_gt=cfg.max_gt,
                 scan_chunk=cfg.scan_chunk, remat=cfg.remat,
+                remat_min_elems=cfg.remat_min_elems,
             )
             probe_tc = TrainConfig(batch_size=4, nbs=cfg.nbs)
             cfg.batch = autobatch_train(
@@ -165,6 +166,7 @@ class Engine:
         model = TAMTRModel.from_yaml(
             self.model_cfg, nc=nc, max_gt=cfg.max_gt, scan_chunk=cfg.scan_chunk,
             dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32, remat=cfg.remat,
+            remat_min_elems=cfg.remat_min_elems,
         )
         self.model = model
         tc = TrainConfig(
@@ -765,16 +767,28 @@ class Engine:
                     ) if miou is not None else np.zeros((len(pc), 10), bool)
                     mask_metrics.update(tp_m, ps, pc, r.cls.astype(np.float32))
                 if coco_records is not None:
-                    coco_records.append(
-                        {
-                            "image_id": int(Path(ds.im_files[i]).stem)
-                            if Path(ds.im_files[i]).stem.isnumeric()
-                            else i,
-                            "boxes": pb,
-                            "scores": ps,
-                            "labels": labels[k][sel],
-                        }
-                    )
+                    rec = {
+                        "image_id": int(Path(ds.im_files[i]).stem)
+                        if Path(ds.im_files[i]).stem.isnumeric()
+                        else i,
+                        "boxes": pb,
+                        "scores": ps,
+                        "labels": labels[k][sel],
+                    }
+                    if task == "segment" and _extra:
+                        # RLE masks at native resolution (reference
+                        # `segment/val.py:195-219` pred_to_json)
+                        import cv2
+
+                        pm = _extra[0][k][sel] > 0.5
+                        rec["masks"] = np.stack([
+                            cv2.resize(
+                                m.astype(np.uint8), (ow, oh),
+                                interpolation=cv2.INTER_LINEAR,
+                            ) > 0.5
+                            for m in pm
+                        ]) if len(pm) else np.zeros((0, oh, ow), bool)
+                    coco_records.append(rec)
         pool.shutdown(wait=False, cancel_futures=True)
         if coco_records is not None:
             from tamtr_tpu.utils.coco import predictions_to_coco

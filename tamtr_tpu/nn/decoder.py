@@ -358,6 +358,24 @@ def get_cdn_group(
     return embed.reshape(B, G2 * M, -1), box_logit.reshape(B, G2 * M, 4)
 
 
+class ContrastiveHead2D(nn.Module):
+    """2-D region-text scores on feature maps (`nn/modules/block.py:574-591`):
+    normalize channels, einsum with text, learnable scale + bias."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """x (B, H, W, C); w (B, K, C) -> (B, H, W, K)."""
+        bias = self.param("bias", lambda k, s: jnp.full(s, -10.0), (1,))
+        logit_scale = self.param(
+            "logit_scale", lambda k, s: jnp.full(s, math.log(1 / 0.07)), ()
+        )
+        x = x.astype(jnp.float32)
+        w = w.astype(jnp.float32)
+        xn = x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12, None)
+        wn = w / jnp.clip(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12, None)
+        return jnp.einsum("bhwc,bkc->bhwk", xn, wn) * jnp.exp(logit_scale) + bias
+
+
 # --------------------------------------------------------------------------
 # The head
 # --------------------------------------------------------------------------
@@ -615,6 +633,161 @@ class ManbaWorldDecoder(nn.Module):
             "dec_scores": dec_scores_s,
             "enc_bboxes": enc_bboxes,
             "enc_scores": enc_scores,
+            "num_dn": num_dn,
+            "dn_groups": self.dn_groups if num_dn else 0,
+        }
+
+
+class LocationManbaDecoder(nn.Module):
+    """Location-decoupled ablation head (reference `head.py:1295-1628`):
+    classification comes from per-level CONV heads (cv3 stack + 2-D
+    contrastive text scores) while the deformable decoder refines BOXES
+    ONLY. Query selection uses the conv class maps; CDN carries box noise
+    but no class embedding (dn queries enter as zero embeddings,
+    `get_cdn_group_withoutcls` + zero-pad, head.py:1471-1492). The single
+    score set is produced once at the encoder stage (no per-layer class
+    heads). Unused by TAMTR.yaml — structural/ablation parity."""
+
+    nc: int = 80
+    ch: Tuple[int, ...] = (128, 256, 512)
+    hd: int = 512
+    nq: int = 300
+    ndp: int = 4
+    nh: int = 8
+    ndl: int = 6
+    d_ffn: int = 1024
+    embed_dim: int = 512
+    num_denoising: int = 100
+    max_gt: int = 128
+    box_noise_scale: float = 1.0
+    eval_idx: int = -1
+    vss_drop_path: float = 0.1
+    scan_chunk: int = 128
+
+    @property
+    def dn_groups(self) -> int:
+        return max(1, self.num_denoising // self.max_gt)
+
+    @property
+    def num_dn(self) -> int:
+        return 2 * self.dn_groups * self.max_gt
+
+    @nn.compact
+    def __call__(self, feats, text, targets=None, train: bool = False):
+        nl = len(feats)
+        B = feats[0].shape[0]
+        from tamtr_tpu.nn.layers import ConvBN
+
+        feats = [
+            VSSBlock(hidden_dim=self.ch[i], drop_path=self.vss_drop_path,
+                     scan_chunk=self.scan_chunk, name=f"vss{i}")(f, train)
+            for i, f in enumerate(feats)
+        ]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        proj, cls_maps = [], []
+        c3 = max(self.ch[0], min(self.nc, 100))
+        for i, f in enumerate(feats):
+            p = nn.Conv(self.hd, (1, 1), use_bias=False, name=f"input_proj{i}_conv",
+                        kernel_init=nn.initializers.xavier_uniform())(f)
+            p = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS, name=f"input_proj{i}_bn", dtype=jnp.float32)(p)
+            # conv classification stack (cv3) + 2-D contrastive text head (cv4)
+            c = ConvBN(c3, 1, 1, name=f"cv3_{i}_0")(p, train)
+            c = ConvBN(c3, 1, 1, name=f"cv3_{i}_1")(c, train)
+            c = nn.Conv(self.embed_dim, (1, 1), name=f"cv3_{i}_2")(c)
+            cls_maps.append(
+                ContrastiveHead2D(name=f"cv4_{i}")(c, text).reshape(B, -1, text.shape[1])
+            )
+            proj.append(p.reshape(B, -1, self.hd))
+        flat = jnp.concatenate(proj, axis=1)
+        pred_scores = jnp.concatenate(cls_maps, axis=1)  # (B, L, K)
+
+        use_dn = train and targets is not None and self.num_denoising > 0
+        num_dn = self.num_dn if use_dn else 0
+        if use_dn:
+            # class-free CDN: box noise only, zero dn embeddings
+            zeros_tab = jnp.zeros((self.nc + 1, self.hd), jnp.float32)
+            _, dn_bbox = get_cdn_group(
+                targets["cls"], targets["bboxes"], targets["mask"], self.nc,
+                zeros_tab, self.dn_groups, self.make_rng("cdn"),
+                cls_noise_ratio=0.0, box_noise_scale=self.box_noise_scale,
+            )
+            attn_mask = jnp.asarray(cdn_attn_mask(num_dn, self.nq, 2 * self.max_gt))
+        else:
+            dn_bbox, attn_mask = None, None
+
+        anchors_np, valid_np = generate_anchors(shapes)
+        anchors = jnp.asarray(anchors_np)[None]
+        valid_mask = jnp.asarray(valid_np.astype(np.float32))[None]
+        features = nn.Dense(self.hd, name="enc_output_dense",
+                            kernel_init=nn.initializers.xavier_uniform())(valid_mask * flat)
+        features = nn.LayerNorm(name="enc_output_norm")(features)
+
+        k_eff = min(self.nq, pred_scores.shape[1])
+        _, topk_ind = jax.lax.top_k(pred_scores.max(-1), k_eff)
+        if k_eff < self.nq:
+            topk_ind = jnp.tile(topk_ind, (1, -(-self.nq // k_eff)))[:, : self.nq]
+        top_feats = jnp.take_along_axis(features, topk_ind[..., None], axis=1)
+        top_anchors = jnp.take_along_axis(
+            jnp.broadcast_to(anchors, (B,) + anchors.shape[1:]), topk_ind[..., None], axis=1
+        )
+        refer_logit = MLP(self.hd, 4, 3, last_zero=True, name="enc_bbox_head")(
+            top_feats.astype(jnp.float32)
+        ) + top_anchors
+        enc_bboxes = jax.nn.sigmoid(refer_logit)
+        dec_scores = jnp.take_along_axis(pred_scores, topk_ind[..., None], axis=1)
+
+        embeddings = top_feats
+        if train:
+            refer_logit = jax.lax.stop_gradient(refer_logit)
+            embeddings = jax.lax.stop_gradient(embeddings)
+        if dn_bbox is not None:
+            refer_logit = jnp.concatenate([dn_bbox, refer_logit], axis=1)
+            pad = jnp.zeros((B, num_dn, self.hd), embeddings.dtype)
+            embeddings = jnp.concatenate([pad, embeddings], axis=1)
+
+        output = embeddings
+        refer = jax.nn.sigmoid(refer_logit)
+        dec_bboxes = []
+        last_refined = None
+        eval_idx = self.eval_idx if self.eval_idx >= 0 else self.ndl + self.eval_idx
+        query_pos_head = MLP(2 * self.hd, self.hd, 2, last_zero=False, name="query_pos_head")
+        for i in range(self.ndl):
+            pos = query_pos_head(refer)
+            output = DeformableDecoderLayer(
+                self.hd, self.nh, self.d_ffn, nl, self.ndp, name=f"layer{i}"
+            )(output, refer, flat, shapes, attn_mask, pos)
+            bbox_delta = MLP(self.hd, 4, 3, last_zero=True, name=f"dec_bbox_head{i}")(
+                output.astype(jnp.float32)
+            )
+            refined = jax.nn.sigmoid(bbox_delta + inverse_sigmoid(refer))
+            if train:
+                if i == 0:
+                    dec_bboxes.append(refined)
+                else:
+                    dec_bboxes.append(jax.nn.sigmoid(bbox_delta + inverse_sigmoid(last_refined)))
+            elif i == eval_idx:
+                dec_bboxes.append(refined)
+                break
+            last_refined = refined
+            refer = jax.lax.stop_gradient(refined) if train else refined
+        dec_bboxes_s = jnp.stack(dec_bboxes)
+
+        if not train:
+            y = jnp.concatenate(
+                [dec_bboxes_s[-1], jax.nn.sigmoid(dec_scores)], axis=-1
+            ).astype(jnp.float32)
+            return {"pred": y, "enc_bboxes": enc_bboxes, "enc_scores": dec_scores}
+        return {
+            "dec_bboxes": dec_bboxes_s,
+            "dec_scores": jnp.broadcast_to(
+                dec_scores[None] if num_dn == 0 else jnp.concatenate(
+                    [jnp.zeros((B, num_dn, dec_scores.shape[-1]), dec_scores.dtype),
+                     dec_scores], axis=1)[None],
+                (dec_bboxes_s.shape[0], B, num_dn + self.nq, dec_scores.shape[-1]),
+            ),
+            "enc_bboxes": enc_bboxes,
+            "enc_scores": dec_scores,
             "num_dn": num_dn,
             "dn_groups": self.dn_groups if num_dn else 0,
         }

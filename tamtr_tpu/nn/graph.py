@@ -19,6 +19,7 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 import yaml
 from flax import linen as nn
 
@@ -74,6 +75,7 @@ def parse_graph(cfg: Dict[str, Any], nc: Optional[int] = None):
         if m in (
             "ManbaWorldDecoder", "RTDETRDecoder", "ManbaDecoder",
             "DecouplingManbaWorldDecoder", "DecouplingDFLManbaWorldDecoder",
+            "locationManbaDecoder", "DualRTDETRDecoder",
             "Detect", "Segment", "Pose", "Classify",
         ):
             assert i == n_layers - 1, "head must be last"
@@ -163,6 +165,14 @@ class TAMTRModel(nn.Module):
     # temps at 640px batch 4 — past single-chip HBM once optimizer state is
     # resident. remat trades ~30% recompute for O(layer-input) memory.
     remat: bool = False
+    # size-aware selective remat: only wrap a layer in remat when its input
+    # activation carries >= this many elements per batch item (H*W*C).
+    # Measured on the real chip at 640px b4 max_gt=300: full remat (0) is
+    # FASTEST — 697 ms vs 711 ms (2**21) vs 733 ms (2**22) — because the
+    # backward is HBM-bound, not recompute-bound, and skipping remat grows
+    # peak temps 5.5 -> 11.3 GiB. Keep 0; the knob exists for smaller
+    # images / future chips where the trade may invert.
+    remat_min_elems: int = 0
     # compute dtype for convs/attention; BN stats, the selective scan, and
     # the loss stay fp32 (the reference trains amp=False — bf16 here is a
     # TPU-native speed option, off by default)
@@ -213,6 +223,10 @@ class TAMTRModel(nn.Module):
                 m, args, name=f"m{idx}_{m.replace('.', '_')}", deploy=self.deploy
             )
             heavy = m not in ("Concat", "Silence", "nn.Upsample")
+            if heavy and self.remat_min_elems:
+                ref = inp[0] if isinstance(inp, list) else inp
+                per_item = int(np.prod(ref.shape[1:]))
+                heavy = per_item >= self.remat_min_elems
             if m == "TIAGELAN":
                 if self.remat and heavy:
                     x = nn.remat(lambda mdl, a, g: mdl(a, g, train))(mod, inp, txt_feats)
@@ -245,6 +259,31 @@ class TAMTRModel(nn.Module):
 
             return Classify(nc=self.nc, name="head")(feats, train)
         nc_h, hd, nq, ndp, nh, ndl = self.head_args[:6]
+        if self.head_type == "locationManbaDecoder":
+            from tamtr_tpu.nn.decoder import LocationManbaDecoder
+
+            head = LocationManbaDecoder(
+                nc=self.nc, ch=tuple(f.shape[-1] for f in feats), hd=hd, nq=nq,
+                ndp=ndp, nh=nh, ndl=ndl, max_gt=self.max_gt,
+                num_denoising=self.num_denoising, scan_chunk=self.scan_chunk,
+                name="head",
+            )
+            return head(feats, txt_feats, targets, train)
+        if self.head_type == "DualRTDETRDecoder":
+            # reference `head.py:438-722`: split the (dual-pyramid) levels
+            # into two halves and decode each with ONE SHARED decoder
+            half = len(feats) // 2
+            core = ManbaWorldDecoder(
+                nc=self.nc, ch=tuple(f.shape[-1] for f in feats[:half]),
+                hd=hd, nq=nq, ndp=ndp, nh=nh, ndl=ndl, max_gt=self.max_gt,
+                scan_chunk=self.scan_chunk, num_denoising=self.num_denoising,
+                use_text=False, use_vss=False, name="head",
+            )
+            out1 = core(feats[:half], txt_feats, targets, train)
+            out2 = core(feats[half:], txt_feats, targets, train)
+            if not train:
+                return {"pred": [out1["pred"], out2["pred"]], "dual": (out1, out2)}
+            return {"dual": (out1, out2), **out1}
         variant = "base"
         if self.head_type == "RTDETRDecoder":
             # plain RT-DETR decoder (reference `head.py:174-436`): same
