@@ -6,10 +6,16 @@ Formats:
                   tensorflow; gated.
 - "tflite"      : TFLite via the SavedModel converter — gated on TF.
 - "npz"         : flat numpy weight archive (interchange / inspection).
+- "stablehlo"   : serialized StableHLO program via `jax.export` — the
+                  TPU-native portable artifact (any PJRT runtime can load
+                  it); always available.
+- "onnx"        : SavedModel -> ONNX via tf2onnx — gated (tf2onnx is not
+                  in this image; documented reference parity hook,
+                  reference `engine/exporter.py:79` format matrix).
 
-The reference's ONNX/TensorRT/CoreML/ncnn/Paddle targets are GPU/mobile
+The reference's TensorRT/CoreML/ncnn/Paddle targets are GPU/mobile
 runtimes with no TPU-serving role; SavedModel is the canonical TF-serving
-format for TPU deployments.
+format for TPU deployments and StableHLO the PJRT-portable one.
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMATS = ("orbax", "savedmodel", "tflite", "npz")
+FORMATS = ("orbax", "savedmodel", "tflite", "npz", "stablehlo", "onnx")
 
 
 def export_model(
@@ -52,7 +58,20 @@ def export_model(
         path = out_dir / "model.npz"
         np.savez_compressed(path, **arrs)
         return path
-    if fmt in ("savedmodel", "tflite"):
+    if fmt == "stablehlo":
+        from jax import export as jax_export
+
+        def infer(img, txt):
+            return model.apply(variables, img, txt, None, False)["pred"]
+
+        exported = jax_export.export(jax.jit(infer))(
+            jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_text, 512), jnp.float32),
+        )
+        path = out_dir / "model.stablehlo"
+        path.write_bytes(exported.serialize())
+        return path
+    if fmt in ("savedmodel", "tflite", "onnx"):
         try:
             import tensorflow as tf
             from jax.experimental import jax2tf
@@ -60,6 +79,14 @@ def export_model(
             raise RuntimeError(
                 f"{fmt} export requires tensorflow (not installed in this image): {e}"
             )
+        if fmt == "onnx":
+            try:
+                import tf2onnx  # noqa: F401
+            except ImportError as e:
+                raise RuntimeError(
+                    "onnx export requires tf2onnx (not installed in this "
+                    f"image); export 'savedmodel' and convert offline: {e}"
+                )
 
         def infer(img, txt):
             return model.apply(variables, img, txt, None, False)["pred"]
@@ -78,6 +105,12 @@ def export_model(
         tf.saved_model.save(module, str(sm_path))
         if fmt == "savedmodel":
             return sm_path
+        if fmt == "onnx":
+            import tf2onnx
+
+            path = out_dir / "model.onnx"
+            tf2onnx.convert.from_saved_model(str(sm_path), output_path=str(path))
+            return path
         converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
         tfl = converter.convert()
         path = out_dir / "model.tflite"

@@ -5,6 +5,8 @@ Backends:
 - "savedmodel" : TF SavedModel exported by `engine/exporter.py` (TF-serving
                  path; requires tensorflow).
 - "tflite"     : TFLite flatbuffer via the tf.lite Interpreter (edge path).
+- "stablehlo"  : serialized StableHLO program via `jax.export` (portable
+                 PJRT artifact; no flax/python model code needed to run).
 
 The reference's ONNX/TensorRT/OpenVINO/CoreML/ncnn/paddle backends are
 GPU-vendor runtimes; the TPU serving story is jax or SavedModel, with TFLite
@@ -37,6 +39,13 @@ class AutoBackend:
             self._interp.allocate_tensors()
             self._in = self._interp.get_input_details()
             self._out = self._interp.get_output_details()
+        elif p.suffix == ".stablehlo":
+            self.backend = "stablehlo"
+            import jax
+            from jax import export as jax_export
+
+            exported = jax_export.deserialize(p.read_bytes())
+            self._fn = jax.jit(exported.call)
         elif p.is_dir() and (p / "saved_model.pb").exists():
             self.backend = "savedmodel"
             import tensorflow as tf

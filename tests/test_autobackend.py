@@ -44,6 +44,12 @@ def test_autobackend_all_formats(trained):
     ref = ab(img, txt)
     assert ref.ndim == 3 and np.isfinite(ref).all()
 
+    # stablehlo: portable PJRT artifact, no TF required
+    shlo = eng.export("stablehlo", out_dir=str(root / "exp_shlo"), imgsz=64)
+    ab_shlo = AutoBackend(shlo, imgsz=64)
+    out_shlo = ab_shlo(img, txt)
+    np.testing.assert_allclose(ref, out_shlo, atol=2e-5)
+
     try:
         import tensorflow  # noqa: F401
     except ImportError:

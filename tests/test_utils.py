@@ -87,6 +87,50 @@ def test_coco_dump(tmp_path):
     assert data[0]["category_id"] == 2
 
 
+def test_coco_rle_roundtrip():
+    from tamtr_tpu.utils.coco import mask_to_rle, rle_to_mask
+
+    rng = np.random.default_rng(0)
+    for shape in [(1, 1), (7, 5), (13, 31), (64, 64)]:
+        for p in (0.1, 0.5, 0.9):
+            m = rng.random(shape) < p
+            rle = mask_to_rle(m)
+            assert rle["size"] == list(shape)
+            assert np.array_equal(rle_to_mask(rle), m)
+    # hand-computed goldens (pycocotools rleToString format):
+    # [[1]]: column-major runs [0,1] -> chars '0','1'
+    assert mask_to_rle(np.array([[True]]))["counts"] == "01"
+    # [[1,0],[0,1]]: flat(F) = 1,0,0,1 -> runs [0,1,2,1]; 4th delta 1-1=0
+    assert mask_to_rle(np.array([[1, 0], [0, 1]], bool))["counts"] == "0120"
+    # negative delta sign-extension: runs [0,3,1,1] -> delta -2 -> 'N'
+    m = np.zeros(5, bool)
+    m[3] = True  # runs [3,1,1]... build shape (5,1): flat [0,0,0,1,0]
+    assert mask_to_rle(m.reshape(5, 1))["counts"] == "311"
+    m2 = np.array([0, 0, 0, 1, 0, 0, 0, 1], bool).reshape(8, 1)
+    # runs [3,1,3,1] -> i3: 1-1=0 -> '3','1','3','0'
+    assert mask_to_rle(m2)["counts"] == "3130"
+
+
+def test_coco_dump_with_masks(tmp_path):
+    from tamtr_tpu.utils.coco import rle_to_mask
+
+    m = np.zeros((16, 16), bool)
+    m[4:9, 3:12] = True
+    per_image = [
+        {
+            "image_id": 1,
+            "boxes": np.array([[3, 4, 12, 9]], np.float32),
+            "scores": np.array([0.7], np.float32),
+            "labels": np.array([0], np.int32),
+            "masks": m[None],
+        }
+    ]
+    p = predictions_to_coco(per_image, tmp_path / "pred.json")
+    data = json.loads(p.read_text())
+    assert "segmentation" in data[0]
+    assert np.array_equal(rle_to_mask(data[0]["segmentation"]), m)
+
+
 def test_plotting_annotate(rng):
     from tamtr_tpu.utils.plotting import annotate_image
 
