@@ -28,6 +28,10 @@ class Config:
     data: Optional[str] = None
     epochs: int = 300
     patience: int = 0  # 0 => early stopping disabled (TAM-TR default)
+    # reference recipe batch (trainTAMTR.py). Throughput note: on a 16 GB
+    # v5e chip the measured per-image optimum is batch=2 (6.55 vs 5.74
+    # img/s at 4) — gradient accumulation (nbs) keeps the effective-batch
+    # cadence identical, so prefer batch=2 per chip when HBM-bound.
     batch: int = 6
     imgsz: int = 640
     save: bool = True

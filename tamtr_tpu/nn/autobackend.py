@@ -1,7 +1,8 @@
 """Unified multi-backend inference wrapper (reference `nn/autobackend.py`).
 
 Backends:
-- "jax"        : native — a TAMTRModel + orbax/npz weights (fastest on TPU).
+- "jax"        : native — a TAMTRModel + orbax checkpoint or flat .npz
+                 weight archive (fastest on TPU).
 - "savedmodel" : TF SavedModel exported by `engine/exporter.py` (TF-serving
                  path; requires tensorflow).
 - "tflite"     : TFLite flatbuffer via the tf.lite Interpreter (edge path).
@@ -52,6 +53,28 @@ class AutoBackend:
 
             self._tf = tf.saved_model.load(str(p))
             self._fn = self._tf.f
+        elif p.suffix == ".npz":
+            # flat numpy archive from `export_model(fmt="npz")`: keys are
+            # "/"-joined tree paths of the (EMA-resolved) variables
+            self.backend = "jax"
+            import jax
+            import jax.numpy as jnp
+
+            from tamtr_tpu.nn.graph import TAMTRModel
+
+            assert nc, "npz archives carry no metadata; pass nc=..."
+            data = np.load(p)
+            variables: dict = {}
+            for key in data.files:
+                d = variables
+                *parents, leaf = key.split("/")
+                for q in parents:
+                    d = d.setdefault(q, {})
+                d[leaf] = jnp.asarray(data[key])
+            self.model = TAMTRModel.from_yaml(model_cfg, nc=nc)
+            self._fn = jax.jit(
+                lambda img, txt: self.model.apply(variables, img, txt, None, False)["pred"]
+            )
         else:
             self.backend = "jax"
             import jax

@@ -21,6 +21,25 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules dominated by full-engine XLA compiles or subprocess meshes; run
+# the fast loop with `pytest -m "not slow"` (marker registered in pytest.ini).
+SLOW_MODULES = {
+    "test_engine",
+    "test_head_variants",
+    "test_multihost",
+    "test_sam",
+    "test_autobackend",
+    "test_classify",
+    "test_rtdetr",
+    "test_yolo",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

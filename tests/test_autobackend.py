@@ -50,6 +50,12 @@ def test_autobackend_all_formats(trained):
     out_shlo = ab_shlo(img, txt)
     np.testing.assert_allclose(ref, out_shlo, atol=2e-5)
 
+    # npz flat archive reload
+    npz = eng.export("npz", out_dir=str(root / "exp_npz"), imgsz=64)
+    ab_npz = AutoBackend(npz, model_cfg="yolo-gelan.yaml", nc=1, imgsz=64)
+    out_npz = ab_npz(img, txt)
+    np.testing.assert_allclose(ref, out_npz, atol=2e-5)
+
     try:
         import tensorflow  # noqa: F401
     except ImportError:

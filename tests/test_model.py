@@ -79,5 +79,5 @@ def test_rtdetr_variant_forward():
         img, txt, None, False,
     )
     out = model.apply(variables, img, txt, None, False)
-    assert out["pred"].shape == (1, 100, 9)  # 4 + nc
+    assert out["pred"].shape == (1, 300, 9)  # 4 + nc; nq=300 (reference RT-DETR)
     assert np.all(np.isfinite(np.asarray(out["pred"])))
