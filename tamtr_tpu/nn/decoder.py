@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from tamtr_tpu.kernels.deform_scatter import weighted_gather
 from tamtr_tpu.nn.layers import BN_EPS, BN_MOMENTUM, MLP
 from tamtr_tpu.nn.ssm import VSSBlock
 from tamtr_tpu.ops.boxes import xywh2xyxy, xyxy2xywh
@@ -86,16 +87,19 @@ def ms_deform_attn_core(
                     + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
                 )  # (B, Q, nh, P)
                 corners.append((idx, (wx * wy) * valid))
-        # gather all 4 corners in one take_along_axis: (B, Q*P*4, nh)
+        # gather all 4 corners in one weighted gather: (B, Q*P*4, nh).
+        # `weighted_gather` is a custom_vjp whose backward scatters
+        # dL/dvalue through a Pallas VMEM-accumulator kernel — XLA's
+        # scatter transpose of this gather was 67 ms/decoder-layer at
+        # 640px b4 (30% of the train step); the kernel runs it in ~8.5 ms
+        # (`kernels/deform_scatter.py`).
         idx_all = jnp.stack([ci for ci, _ in corners], axis=-1)  # (B,Q,nh,P,4)
         w_all = jnp.stack([cw for _, cw in corners], axis=-1)  # (B,Q,nh,P,4)
         idx_flat = idx_all.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 4, nh)
-        gathered = jnp.take_along_axis(v, idx_flat[..., None], axis=1)  # (B, Q*P*4, nh, c)
-        gathered = gathered.reshape(B, Q, P, 4, nh, c)
-        w_lvl = (w_all * w_att[..., None]).transpose(0, 1, 3, 4, 2)  # (B,Q,P,4,nh)
-        out = out + jnp.einsum(
-            "bqpknc,bqpkn->bqnc", gathered, w_lvl.astype(gathered.dtype)
+        w_lvl = (w_all * w_att[..., None]).transpose(0, 1, 3, 4, 2).reshape(
+            B, Q * P * 4, nh
         )
+        out = out + weighted_gather(v, idx_flat, w_lvl, P * 4)
     return out.reshape(B, Q, nh * c)
 
 
