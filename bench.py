@@ -6,12 +6,12 @@ Prints ONE JSON line:
 
 The train-step measurement runs the REAL jitted train step (full TAM-TR
 recipe shapes: 640px, max_gt 300, remat, flat AdamW+EMA, batched auction
-matching) at micro-batch 2 — the measured throughput optimum on v5e 16 GB
-(sweep: b1 5.0, b2 6.55, b3 5.5, b4 5.7 img/s; the ~95 ms/step fixed cost
-amortizes while HBM pressure stays low). Gradient accumulation makes the
-micro-batch a free parameter (grads sum across micro-batches; the trainer
-keeps the reference's effective-batch cadence via nbs). First-ever compile
-takes ~10 min on the axon runtime; the
+matching) at micro-batch 4 — the measured throughput optimum on v5e 16 GB
+after the Pallas deform-scatter backward + tree-grad fixes (sweep:
+b2 229 ms = 8.72, b4 448 ms = 8.93 img/s; b8 OOMs). Gradient accumulation
+makes the micro-batch a free parameter (grads sum across micro-batches;
+the trainer keeps the reference's effective-batch cadence via nbs).
+First-ever compile takes ~10 min on the axon runtime; the
 persistent compilation cache (`setup_jax`) makes subsequent runs start in
 seconds, and this repo ships with the cache warmed for exactly these
 shapes.
@@ -121,7 +121,7 @@ def measure_train_step():
     from tamtr_tpu.nn.graph import TAMTRModel
     from tamtr_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
 
-    B, M, nc, sz = 2, 300, 10, 640  # micro-batch 2: measured optimum (see module docstring)
+    B, M, nc, sz = 4, 300, 10, 640  # micro-batch 4: measured optimum (see module docstring)
     model = TAMTRModel.from_yaml("tamtr.yaml", nc=nc, max_gt=M, remat=True)
     cfg = TrainConfig(batch_size=B, warmup_iters=100, epochs=10, accumulate=1)
     state, tx = create_train_state(
