@@ -8,7 +8,7 @@ The train-step measurement runs the REAL jitted train step (full TAM-TR
 recipe shapes: 640px, max_gt 300, remat, flat AdamW+EMA, batched auction
 matching) at micro-batch 4 — the measured throughput optimum on v5e 16 GB
 after the Pallas deform-scatter backward + tree-grad fixes (sweep:
-b2 229 ms = 8.72, b4 448 ms = 8.93 img/s; b8 OOMs). Gradient accumulation
+b2 229 ms = 8.72, b4 425 ms = 9.42 img/s; b8 OOMs). Gradient accumulation
 makes the micro-batch a free parameter (grads sum across micro-batches;
 the trainer keeps the reference's effective-batch cadence via nbs).
 First-ever compile takes ~10 min on the axon runtime; the

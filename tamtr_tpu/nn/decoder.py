@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tamtr_tpu.kernels.deform_scatter import weighted_gather
+from tamtr_tpu.kernels.deform_scatter import bilinear_gather
 from tamtr_tpu.nn.layers import BN_EPS, BN_MOMENTUM, MLP
 from tamtr_tpu.nn.ssm import VSSBlock
 from tamtr_tpu.ops.boxes import xywh2xyxy, xyxy2xywh
@@ -87,19 +87,30 @@ def ms_deform_attn_core(
                     + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
                 )  # (B, Q, nh, P)
                 corners.append((idx, (wx * wy) * valid))
-        # gather all 4 corners in one weighted gather: (B, Q*P*4, nh).
-        # `weighted_gather` is a custom_vjp whose backward scatters
-        # dL/dvalue through a Pallas VMEM-accumulator kernel — XLA's
-        # scatter transpose of this gather was 67 ms/decoder-layer at
-        # 640px b4 (30% of the train step); the kernel runs it in ~8.5 ms
-        # (`kernels/deform_scatter.py`).
+        # `bilinear_gather` is a custom_vjp: the forward is one plain XLA
+        # gather over all 4 corners; the backward scatters dL/dvalue through
+        # a Pallas VMEM-accumulator kernel as (2, c) row-pair block updates
+        # — XLA's scatter transpose of this gather was 67 ms/decoder-layer
+        # at 640px b4 (30% of the train step); see
+        # `kernels/deform_scatter.py` for the pair layout contract.
         idx_all = jnp.stack([ci for ci, _ in corners], axis=-1)  # (B,Q,nh,P,4)
         w_all = jnp.stack([cw for _, cw in corners], axis=-1)  # (B,Q,nh,P,4)
-        idx_flat = idx_all.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 4, nh)
-        w_lvl = (w_all * w_att[..., None]).transpose(0, 1, 3, 4, 2).reshape(
-            B, Q * P * 4, nh
-        )
-        out = out + weighted_gather(v, idx_flat, w_lvl, P * 4)
+        idx4 = idx_all.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 4, nh)
+        w4 = (w_all * w_att[..., None]).transpose(0, 1, 3, 4, 2)  # (B,Q,P,4,nh)
+        w_pairs = w4.reshape(B, Q * P * 2, 2, nh).transpose(0, 1, 3, 2)
+        # pair starts (backward only): rows idx2, idx2+1 get the two pair
+        # weights. x0=-1 pairs shift to column 0 with weights swapped — both
+        # corners clip to column 0 there, so the forward sum is unchanged
+        # and the invalid corner's zero weight lands harmlessly at column 1.
+        xs = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
+        y0c = jnp.clip(y0, 0, H - 1).astype(jnp.int32) * W + xs
+        y1c = jnp.clip(y0 + 1, 0, H - 1).astype(jnp.int32) * W + xs
+        idx2 = jnp.stack([y0c, y1c], axis=-1)  # (B,Q,nh,P,2)
+        idx2 = idx2.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 2, nh)
+        swap = jnp.broadcast_to((x0 < 0)[..., None], x0.shape + (2,))
+        swap = swap.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 2, nh)
+        w_pairs = jnp.where(swap[..., None], w_pairs[..., ::-1], w_pairs)
+        out = out + bilinear_gather(v, idx4, w_pairs, idx2, P)
     return out.reshape(B, Q, nh * c)
 
 

@@ -69,3 +69,73 @@ def test_repeated_indices_accumulate(monkeypatch):
     g = jax.grad(lambda v: jnp.sum(weighted_gather(v, idx, w, p4)))(value)
     np.testing.assert_allclose(np.asarray(g[0, 0, 0]), np.full(c, Q * p4, np.float32))
     np.testing.assert_allclose(np.asarray(g[0, 1:, 0]), np.zeros((L - 1, c), np.float32))
+
+
+def _make_bilinear(B=2, H=9, W=11, nh=2, c=8, Q=5, P=3, seed=3):
+    """Build bilinear_gather inputs exactly the way ms_deform_attn_core does,
+    with sample locations straddling the borders (negative and > size)."""
+    rng = np.random.default_rng(seed)
+    value = jnp.asarray(rng.standard_normal((B, H * W, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (B, Q, nh, P, 2)), jnp.float32)
+    w_att = jnp.asarray(rng.random((B, Q, nh, P)), jnp.float32)
+    x = loc[..., 0] * W - 0.5
+    y = loc[..., 1] * H - 0.5
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    wx1, wy1 = x - x0, y - y0
+    corners = []
+    for dy, wy in ((0, 1.0 - wy1), (1, wy1)):
+        for dx, wx in ((0, 1.0 - wx1), (1, wx1)):
+            xi, yi = x0 + dx, y0 + dy
+            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            idx = (
+                jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W
+                + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+            )
+            corners.append((idx, (wx * wy) * valid))
+    idx_all = jnp.stack([ci for ci, _ in corners], axis=-1)
+    w_all = jnp.stack([cw for _, cw in corners], axis=-1)
+    idx4 = idx_all.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 4, nh)
+    w4 = (w_all * w_att[..., None]).transpose(0, 1, 3, 4, 2)
+    w_pairs = w4.reshape(B, Q * P * 2, 2, nh).transpose(0, 1, 3, 2)
+    xs = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
+    r0 = jnp.clip(y0, 0, H - 1).astype(jnp.int32) * W + xs
+    r1 = jnp.clip(y0 + 1, 0, H - 1).astype(jnp.int32) * W + xs
+    idx2 = jnp.stack([r0, r1], axis=-1)
+    idx2 = idx2.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 2, nh)
+    swap = jnp.broadcast_to((x0 < 0)[..., None], x0.shape + (2,))
+    swap = swap.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 2, nh)
+    w_pairs = jnp.where(swap[..., None], w_pairs[..., ::-1], w_pairs)
+    return value, idx4, w_pairs, idx2, P, H, W
+
+
+def test_bilinear_forward_matches_weighted_gather():
+    from tamtr_tpu.kernels.deform_scatter import bilinear_gather, _w4_of_pairs
+
+    value, idx4, w_pairs, idx2, P, H, W = _make_bilinear()
+    out = bilinear_gather(value, idx4, w_pairs, idx2, P)
+    ref = weighted_gather(value, idx4, _w4_of_pairs(w_pairs), P * 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("force_pallas", [False, True])
+def test_bilinear_backward_matches_autodiff(force_pallas, monkeypatch):
+    """Pairs-scatter backward (clamped starts + spare-row accumulator) ==
+    XLA autodiff of the plain 4-corner gather, including border-straddling
+    sample points (the x0=-1 swap is applied by _make_bilinear)."""
+    from tamtr_tpu.kernels.deform_scatter import bilinear_gather, _w4_of_pairs
+
+    monkeypatch.setattr(ds, "FORCE_PALLAS", force_pallas)
+    value, idx4, w_pairs, idx2, P, H, W = _make_bilinear(seed=4)
+
+    def loss_custom(v, wp):
+        out = bilinear_gather(v, idx4, wp, idx2, P)
+        return jnp.sum(jnp.sin(out) * jnp.cos(out * 0.5))
+
+    def loss_ref(v, wp):
+        out = _gather_fwd_impl(v, idx4, _w4_of_pairs(wp), P * 4)
+        return jnp.sum(jnp.sin(out) * jnp.cos(out * 0.5))
+
+    gv, gw = jax.grad(loss_custom, argnums=(0, 1))(value, w_pairs)
+    rv, rw = jax.grad(loss_ref, argnums=(0, 1))(value, w_pairs)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-5, atol=1e-5)
