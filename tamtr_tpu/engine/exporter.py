@@ -12,6 +12,8 @@ Formats:
 - "onnx"        : SavedModel -> ONNX via tf2onnx — gated (tf2onnx is not
                   in this image; documented reference parity hook,
                   reference `engine/exporter.py:79` format matrix).
+- "pb"          : frozen TF GraphDef (weights inlined as constants) — the
+                  reference's 'pb' format row; gated on TF.
 
 The reference's TensorRT/CoreML/ncnn/Paddle targets are GPU/mobile
 runtimes with no TPU-serving role; SavedModel is the canonical TF-serving
@@ -27,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMATS = ("orbax", "savedmodel", "tflite", "npz", "stablehlo", "onnx")
+FORMATS = ("orbax", "savedmodel", "tflite", "npz", "stablehlo", "onnx", "pb")
 
 
 def export_model(
@@ -71,7 +73,7 @@ def export_model(
         path = out_dir / "model.stablehlo"
         path.write_bytes(exported.serialize())
         return path
-    if fmt in ("savedmodel", "tflite", "onnx"):
+    if fmt in ("savedmodel", "tflite", "onnx", "pb"):
         try:
             import tensorflow as tf
             from jax.experimental import jax2tf
@@ -99,6 +101,21 @@ def export_model(
             ],
             autograph=False,
         )
+        if fmt == "pb":
+            # frozen GraphDef (reference `export_formats()` 'pb' row): inline
+            # the weights as constants and serialize the single graph
+            from tensorflow.python.framework.convert_to_constants import (
+                convert_variables_to_constants_v2,
+            )
+
+            frozen = convert_variables_to_constants_v2(
+                tf_fn.get_concrete_function()
+            )
+            path = out_dir / "model.pb"
+            tf.io.write_graph(
+                frozen.graph.as_graph_def(), str(out_dir), "model.pb", as_text=False
+            )
+            return path
         module = tf.Module()
         module.f = tf_fn
         sm_path = out_dir / "saved_model"

@@ -45,6 +45,11 @@ import os as _os
 VMEM_LIMIT = int(_os.environ.get("TAMTR_SCAN_VMEM", 64 * 1024 * 1024))
 DBLK = int(_os.environ.get("TAMTR_SCAN_DBLK", 0)) or DBLK
 SCAN_IMPL_HDIRECT = _os.environ.get("TAMTR_SCAN_HDIRECT", "1") == "1"
+# backward-kernel D-block width: the bwd holds ~8 (S, N, Dblk) fp32 buffers
+# live (S=128), so 128 keeps the working set ~6.7 MB; wider blocks measured
+# on v5e after the seeded-replay rewrite — see tools/bench_scan.py
+BWD_DBLK = int(_os.environ.get("TAMTR_SCAN_BWD_DBLK", 0)) or 512
+BWD_CHUNK = int(_os.environ.get("TAMTR_SCAN_BWD_CHUNK", 0)) or 256
 
 
 def _compiler_params():
@@ -345,6 +350,84 @@ def _scan_h_direct(a, b, h_in, Cc, reverse: bool, T: int = 0):
     return y, h_last
 
 
+def _scan_seeded_final(a, b, h_in, reverse: bool, T: int = 0):
+    """Minimum-arithmetic final state of a seeded chunk scan (passes 1+2 of
+    `_scan_h_direct`): ~3 ops/element, no per-position output.
+
+    a, b: (S, N, D); h_in: (N, D). Returns h after consuming the chunk
+    (forward: state after t=S-1; reverse: state after t=0)."""
+    S, N, D = a.shape
+    T = T or SCAN_T
+    if S % T or S == T:
+        T = S
+    R = S // T
+    a4 = a.reshape(R, T, N, D)
+    b4 = b.reshape(R, T, N, D)
+    order = range(T - 1, -1, -1) if reverse else range(T)
+    sl = lambda x, t: jax.lax.slice_in_dim(x, t, t + 1, axis=1)
+    run_a = run_b = None
+    for t in order:
+        at, bt = sl(a4, t), sl(b4, t)
+        if run_a is None:
+            run_a, run_b = at, bt
+        else:
+            run_b = bt + at * run_b
+            run_a = at * run_a
+    a_s = run_a[:, 0]  # (R, N, D)
+    b_s = run_b[:, 0]
+    h = h_in
+    r_order = range(R - 1, -1, -1) if reverse else range(R)
+    for r in r_order:
+        h = a_s[r] * h + b_s[r]
+    return h
+
+
+def _scan_seeded_all(a, b, h_in, reverse: bool, T: int = 0):
+    """Seeded chunk scan materializing the state at EVERY position — the
+    backward kernel's analogue of `_scan_h_direct` (same three passes, but
+    pass 3 stacks h instead of reducing with C): ~5 ops/element vs ~8 for
+    the composition route (`_chunk_scan_two_level` + carry compose).
+
+    a, b: (S, N, D); h_in: (N, D). Returns (h_all (S, N, D), h_final)."""
+    S, N, D = a.shape
+    T = T or SCAN_T
+    if S % T or S == T:
+        T = S
+    R = S // T
+    a4 = a.reshape(R, T, N, D)
+    b4 = b.reshape(R, T, N, D)
+    order = range(T - 1, -1, -1) if reverse else range(T)
+    sl = lambda x, t: jax.lax.slice_in_dim(x, t, t + 1, axis=1)
+
+    run_a = run_b = None
+    for t in order:
+        at, bt = sl(a4, t), sl(b4, t)
+        if run_a is None:
+            run_a, run_b = at, bt
+        else:
+            run_b = bt + at * run_b
+            run_a = at * run_a
+    a_s = run_a[:, 0]
+    b_s = run_b[:, 0]
+
+    seeds = [None] * R
+    h = h_in
+    r_order = range(R - 1, -1, -1) if reverse else range(R)
+    for r in r_order:
+        seeds[r] = h
+        h = a_s[r] * h + b_s[r]
+    h_final = h
+    seed = jnp.stack(seeds, 0)  # (R, N, D)
+
+    hs = [None] * T
+    h4 = seed
+    for t in order:
+        h4 = sl(a4, t)[:, 0] * h4 + sl(b4, t)[:, 0]
+        hs[t] = h4
+    h_all = jnp.stack(hs, 1).reshape(S, N, D)
+    return h_all, h_final
+
+
 def _ss2d_kernel(
     u_ref, dtr_ref, dtw_ref, dtb_ref, A_ref, B_ref, C_ref, D_ref, y_ref, h_ref,
     *, reverse: bool
@@ -562,13 +645,9 @@ def _carriers_kernel(u_ref, dtr_ref, dtw_ref, dtb_ref, A_ref, B_ref, hcar_ref, h
     dt = jax.nn.softplus(dt + dtb_ref[0])
     A = A_ref[0]
     Bc = B_ref[0]
-    S = u.shape[0]
     a = jnp.exp(dt[:, None, :] * A[None])
     b = (dt * u)[:, None, :] * Bc[:, :, None]
-    a_s, b_s = _chunk_scan_two_level(a, b, reverse=False)
-    h_in = h_ref[...]
-    h_last = (a_s[S - 1 : S] * h_in[None] + b_s[S - 1 : S]).reshape(h_in.shape)
-    h_ref[...] = h_last
+    h_ref[...] = _scan_seeded_final(a, b, h_ref[...], reverse=False)
 
 
 def _bwd_kernel(
@@ -599,10 +678,9 @@ def _bwd_kernel(
     a = jnp.exp(dt[:, None, :] * A[None])  # (S, N, Dblk)
     b = (dt * u)[:, None, :] * Bc[:, :, None]
 
-    # recompute h within chunk from the stored incoming state
-    A_f, B_f = _chunk_scan_two_level(a, b, reverse=False)
+    # recompute h within chunk from the stored incoming state (seeded replay)
     h_in = hcar_ref[0, 0]  # (N, Dblk)
-    h_all = A_f * h_in[None] + B_f
+    h_all, _ = _scan_seeded_all(a, b, h_in, reverse=False)
     h_prev = pltpu.roll(h_all, 1, axis=0)
     h_prev = jnp.where(pos == 0, h_in[None], h_prev)
 
@@ -610,9 +688,8 @@ def _bwd_kernel(
     q = dy[:, None, :] * Cc[:, :, None]  # (S, N, Dblk)
     a_next = pltpu.roll(a, S - 1, axis=0)  # a_{t+1} (circular -1)
     a_next = jnp.where(pos == S - 1, abound_ref[...][None], a_next)
-    A_r, Q_r = _chunk_scan_two_level(a_next, q, reverse=True)
     g_in = g_ref[...]  # g of the first element of the later chunk
-    g_all = A_r * g_in[None] + Q_r
+    g_all, _ = _scan_seeded_all(a_next, q, g_in, reverse=True)
 
     dtu = (dt * u)[:, None, :]
     dC_ref[0, 0] = jnp.sum(dy[:, None, :] * h_all, axis=2)  # (S, N)
@@ -649,7 +726,9 @@ def _run_ss2d_bwd_fwddir(u, dt_raw, dt_w, dt_b, A_t, Bs, Cs, dy, chunk):
         dy = jnp.pad(dy, cfg)
     Lp = L + pad
     nS = Lp // S
-    Dblk = min(D, 128)
+    Dblk = min(D, BWD_DBLK)
+    while D % Dblk != 0:
+        Dblk -= 1
     nD = D // Dblk
 
     fwd = lambda g, d, s: (g, s, d)
@@ -728,9 +807,10 @@ def _ss2d_bwd_pallas(chunk, res, dy):
     B, _, L, D = layouts.shape
     N = A.shape[-1]
     R = dt_w.shape[-1]
-    # the backward holds ~12 (S, N, Dblk) buffers live; S=128 keeps the
-    # working set inside the 16 MB VMEM scoped limit
-    S = max(min(chunk, L, 128), 16)
+    # the backward holds ~8 (S, N, Dblk) fp32 buffers live after the
+    # seeded-replay rewrite; (S, Dblk) = (256, 512) measured fastest on v5e
+    # (sweep in tools/bench_scan.py: 95.8 -> 72.0 ms total fwd+bwd)
+    S = max(min(chunk, L, BWD_CHUNK), 16)
 
     d_layouts = jnp.zeros_like(layouts)
     d_dts = jnp.zeros_like(dts_raw)

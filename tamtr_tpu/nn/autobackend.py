@@ -47,6 +47,28 @@ class AutoBackend:
 
             exported = jax_export.deserialize(p.read_bytes())
             self._fn = jax.jit(exported.call)
+        elif p.suffix == ".pb":
+            # frozen GraphDef from `export_model(fmt="pb")`: weights are
+            # inlined constants; wrap the graph as a concrete function
+            self.backend = "pb"
+            import tensorflow as tf
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(p.read_bytes())
+
+            def _imports():
+                tf.compat.v1.import_graph_def(gd, name="")
+
+            wrapped = tf.compat.v1.wrap_function(_imports, [])
+            graph = wrapped.graph
+            ops = graph.get_operations()
+            placeholders = [o.outputs[0] for o in ops if o.type == "Placeholder"]
+            img_t = next(t for t in placeholders if len(t.shape) == 4)
+            txt_t = next(t for t in placeholders if t is not img_t)
+            # frozen concrete functions terminate in one Identity per output
+            idents = [o for o in ops if o.type == "Identity"]
+            out_t = (idents[-1] if idents else ops[-1]).outputs[0]
+            self._fn = wrapped.prune([img_t, txt_t], [out_t])
         elif p.is_dir() and (p / "saved_model.pb").exists():
             self.backend = "savedmodel"
             import tensorflow as tf
@@ -115,10 +137,13 @@ class AutoBackend:
             self._interp.set_tensor(txt_in["index"], txt_feats.astype(np.float32))
             self._interp.invoke()
             return self._interp.get_tensor(self._out[0]["index"])
-        if self.backend == "savedmodel":
+        if self.backend in ("savedmodel", "pb"):
             import tensorflow as tf
 
-            return self._fn(tf.constant(img), tf.constant(txt_feats)).numpy()
+            out = self._fn(tf.constant(img), tf.constant(txt_feats))
+            if isinstance(out, (list, tuple)):
+                out = out[0]
+            return out.numpy()
         import jax
 
         return np.asarray(jax.device_get(self._fn(img, txt_feats)))

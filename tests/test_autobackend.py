@@ -70,3 +70,9 @@ def test_autobackend_all_formats(trained):
     out_tfl = ab_tfl(img, txt)
     # tflite kernels differ more (fp32 reference path)
     np.testing.assert_allclose(ref, out_tfl, atol=5e-3, rtol=1e-2)
+
+    # frozen GraphDef (reference 'pb' format row)
+    pb = eng.export("pb", out_dir=str(root / "exp_pb"), imgsz=64)
+    ab_pb = AutoBackend(pb, imgsz=64)
+    out_pb = ab_pb(img, txt)
+    np.testing.assert_allclose(ref, out_pb, atol=2e-4)
