@@ -7,10 +7,13 @@ Prints ONE JSON line:
 The train-step measurement runs the REAL jitted train step (full TAM-TR
 recipe shapes: 640px, max_gt 300, remat, flat AdamW+EMA, batched auction
 matching) at micro-batch 4 — the measured throughput optimum on v5e 16 GB
-after the Pallas deform-scatter backward + tree-grad fixes (sweep:
-b2 229 ms = 8.72, b4 425 ms = 9.42 img/s; b8 OOMs). Gradient accumulation
-makes the micro-batch a free parameter (grads sum across micro-batches;
-the trainer keeps the reference's effective-batch cadence via nbs).
+(sweep: b2 229 ms per-call; b4 best; b8 OOMs). Steps are chained inside
+one jit (lax.scan over the state carry) so the ~30 ms axon dispatch+fetch
+round-trip is amortized — per-call fetch timing reads 425 ms where the
+device time is 393 ms for the identical step.
+Gradient accumulation makes the micro-batch a free parameter (grads sum
+across micro-batches; the trainer keeps the reference's effective-batch
+cadence via nbs).
 First-ever compile takes ~10 min on the axon runtime; the
 persistent compilation cache (`setup_jax`) makes subsequent runs start in
 seconds, and this repo ships with the cache warmed for exactly these
@@ -128,9 +131,7 @@ def measure_train_step():
         model, jax.random.PRNGKey(0), cfg, (B, sz, sz, 3), nc,
         steps_per_epoch=100, max_gt=M,
     )
-    step = jax.jit(
-        make_train_step(model, tx, DETRLossConfig(nc=nc), cfg), donate_argnums=(0,)
-    )
+    step_fn = make_train_step(model, tx, DETRLossConfig(nc=nc), cfg)
     rng = np.random.default_rng(0)
     batch = {
         "img": jnp.asarray(rng.random((B, sz, sz, 3), dtype=np.float32)),
@@ -141,14 +142,30 @@ def measure_train_step():
         ),
         "mask": jnp.asarray(np.arange(M)[None] < 40).astype(bool).repeat(B, 0),
     }
-    state, m = step(state, batch, jax.random.PRNGKey(1))  # compile + warmup
-    float(m["loss"])
+    # chain K dependent steps inside one jit: per-call fetches pay the ~30 ms
+    # axon dispatch+fetch round-trip on top of device time (measured: 425 ms
+    # per-call vs 393 ms chained for the identical step)
+    K = 8
+
+    @jax.jit
+    def chained(state, batch, key):
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, m = step_fn(st, batch, sub)
+            return (st, k), m["loss"]
+
+        (state, _), losses = jax.lax.scan(body, (state, key), None, length=K)
+        return state, losses
+
+    state, losses = chained(state, batch, jax.random.PRNGKey(1))  # compile
+    float(losses[-1])
     best = float("inf")
-    for i in range(5):
+    for i in range(3):
         t0 = time.perf_counter()
-        state, m = step(state, batch, jax.random.PRNGKey(2 + i))
-        float(m["loss"])  # fetch forces completion under axon
-        best = min(best, time.perf_counter() - t0)
+        state, losses = chained(state, batch, jax.random.PRNGKey(2 + i))
+        float(losses[-1])  # fetch forces completion under axon
+        best = min(best, (time.perf_counter() - t0) / K)
     return B / best, best * 1000.0
 
 

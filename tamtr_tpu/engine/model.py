@@ -9,6 +9,7 @@ orbax checkpoints, and the precomputed text-embedding table.
 from __future__ import annotations
 
 import csv
+import functools
 import json
 import time
 from pathlib import Path
@@ -628,17 +629,36 @@ class Engine:
         self._fused_cache = (key, deploy, fused)
         return deploy, fused
 
-    def _get_eval_step(self, model, conf, iou, max_det, imgsz):
+    def _get_eval_step(self, model, conf, iou, max_det, imgsz, sharded=False):
         """Jitted eval step, cached per (conf, iou, max_det, imgsz) — a fresh
-        closure per val call would retrace every epoch."""
-        key = (id(model), conf, iou, max_det, imgsz)
+        closure per val call would retrace every epoch.
+
+        sharded=True runs data-parallel over the device mesh (params
+        replicated, batch axis over ICI) — the validator pads its batch to a
+        device-count multiple; predict paths (batch 1) stay unsharded."""
+        key = (id(model), conf, iou, max_det, imgsz, sharded)
         cache = getattr(self, "_eval_steps", None)
         if cache is None:
             cache = self._eval_steps = {}
         if key not in cache:
             pixel_head = model.head_type in ("Detect", "Segment", "Pose")
+            # data-parallel val over the device mesh: params replicated,
+            # batch axis sharded over ICI (no-op on a single chip); the
+            # caller pads batches to a multiple of the device count
+            n_dev = jax.device_count()
+            jit_kw = {}
+            if sharded and n_dev > 1:
+                from tamtr_tpu.parallel.mesh import (
+                    batch_sharding, make_mesh, replicated,
+                )
 
-            @jax.jit
+                mesh = make_mesh(n_dev)
+                bsh = batch_sharding(mesh)
+                jit_kw = dict(
+                    in_shardings=(replicated(mesh), bsh, bsh), out_shardings=bsh
+                )
+
+            @functools.partial(jax.jit, **jit_kw)
             def eval_step(variables, img, txt):
                 full = model.apply(variables, img, txt, None, False)
                 out = full["pred"]
@@ -674,7 +694,10 @@ class Engine:
         model, variables = self._resolve_eval_model(model, variables, cfg)
         conf = cfg.conf if cfg.conf is not None else 0.4
 
-        eval_step = self._get_eval_step(model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
+        n_dev = jax.device_count()
+        eval_step = self._get_eval_step(
+            model, conf, cfg.iou, cfg.max_det, cfg.imgsz, sharded=n_dev > 1
+        )
 
         metrics = DetMetrics()
         mask_metrics = DetMetrics() if task == "segment" else None
@@ -685,6 +708,8 @@ class Engine:
 
             confusion = ConfusionMatrix(len(self.names) or model.nc, conf=conf)
         bs = max(cfg.batch, 1)
+        if n_dev > 1:  # sharded eval needs the batch axis divisible
+            bs = ((bs + n_dev - 1) // n_dev) * n_dev
         txt_all = jnp.asarray(self.txt_feats[None])
         n = len(ds)
         coco_records = [] if cfg.save_json else None

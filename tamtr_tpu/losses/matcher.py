@@ -7,9 +7,15 @@ The cost matrix (focal class cost + L1 + RIOU, reference
 - `method="scipy"`: host `linear_sum_assignment` via `jax.pure_callback`
   (exact; mirrors the reference's `.cpu()` round-trip). Used on CPU and as
   the test oracle.
-- `method="auction"`: fully on-device Bertsekas auction (single phase,
-  zero initial prices), vectorized over the batch — dense (nq, M) ops per
-  round inside a bounded `lax.while_loop`. This is the TPU default — the serving TPU backend has
+- `method="auction"`/"auto": fully on-device Bertsekas auction (single
+  phase, zero initial prices), vectorized over the batch — dense (nq, M)
+  ops per round inside a bounded `lax.while_loop`. Measured INSIDE a
+  chained jit at production shapes (B=16, nq=100, M=300) this costs
+  3.2 ms — the earlier "~30 ms/step" figure was per-call dispatch+fetch
+  latency, not device time. A VMEM-resident Pallas variant exists
+  (`method="auction_pallas"`, kernels/auction.py) but its fixed-round
+  fori_loop measures 5.8 ms at the same shapes, so the early-exiting XLA
+  form stays the default. This is the TPU default — the serving TPU backend has
   no host-callback channel, and staying on device also removes the
   per-step host sync that is hot-loop #5 in the reference (SURVEY.md §3).
   With nq >= #valid-gts the auction is lightly contested and converges to
@@ -182,6 +188,14 @@ def hungarian_match(
 
     if method in ("auto", "auction"):
         return auction_match(C, gt_mask)
+    if method == "auction_pallas":
+        # VMEM-resident Pallas variant: same math, same tie-breaking as the
+        # XLA auction (exactness asserted in tests/test_auction_kernel.py),
+        # but its fixed-round fori_loop loses to the early-exiting
+        # while_loop at production shapes (5.8 vs 3.2 ms) — opt-in only.
+        from tamtr_tpu.kernels.auction import auction_match_pallas
+
+        return auction_match_pallas(C, gt_mask)
 
     n_valid = gt_mask.sum(axis=1).astype(jnp.int32)
     result = jax.pure_callback(

@@ -473,9 +473,13 @@ class ManbaWorldDecoder(nn.Module):
 
         # per-level VSS mixers (channels-last natively); remat trades
         # recompute for the large (B, L, 2C) SS2D intermediates in the bwd
+        # save the merged scan outputs across the remat boundary so the
+        # backward pass skips re-running the Pallas scan forward (the scan's
+        # custom VJP only needs its recomputed inputs) — measured win on v5e
+        scan_policy = jax.checkpoint_policies.save_only_these_names("scan_out")
         feats = feats if not self.use_vss else [
             (
-                nn.remat(lambda mdl, a: mdl(a, train))(
+                nn.remat(lambda mdl, a: mdl(a, train), policy=scan_policy)(
                     VSSBlock(
                         hidden_dim=self.ch[i],
                         drop_path=self.vss_drop_path,

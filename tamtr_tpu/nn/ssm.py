@@ -278,6 +278,14 @@ class SS2D(nn.Module):
         y_col = (ys[:, 1] + ys[:, 3]).reshape(B, W, H, d_inner)
         y_col = y_col.transpose(0, 2, 1, 3).reshape(B, L, d_inner)
         y = ys[:, 0] + ys[:, 2] + y_col  # (B, L, d_inner) fp32
+        # named checkpoint: with the `save_scan_outputs` remat policy (see
+        # decoder.ManbaWorldDecoder) the merged scan output is SAVED across
+        # the mixer's remat boundary, so the backward skips re-running the
+        # Pallas scan forward (~17 ms/step at 640px b4) for the cost of
+        # (B, L, d_inner) fp32 per level (~180 MB at b4)
+        from jax.ad_checkpoint import checkpoint_name
+
+        y = checkpoint_name(y, "scan_out")
 
         y = nn.LayerNorm(name="out_norm", dtype=jnp.float32)(y)
         y = y.astype(x.dtype).reshape(B, H, W, d_inner)
