@@ -94,6 +94,32 @@ def test_backbone_neck_forward_parity(ref_model, ported):
         np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
 
 
+def test_export_round_trips_bitwise(ref_model, ported):
+    """flax -> torch export exactly inverts the port (every tensor equal)."""
+    from tools.port_torch_weights import export_state_dict
+
+    model, params, batch_stats, _ = ported
+    template = {k: v.float().numpy() for k, v in ref_model.state_dict().items()}
+    sd, report = export_state_dict(params, batch_stats, model, template)
+    for key, items in report.items():
+        assert not items, f"{key}: {len(items)} problems; first: {items[:5]}"
+    assert sd.keys() == template.keys()
+    for k, v in template.items():
+        np.testing.assert_array_equal(sd[k], v, err_msg=k)
+
+
+def test_exported_state_dict_loads_strict(ref_model, ported):
+    """The reference model accepts the exported dict with strict=True."""
+    import torch
+
+    from tools.port_torch_weights import export_state_dict
+
+    model, params, batch_stats, _ = ported
+    template = {k: v.float().numpy() for k, v in ref_model.state_dict().items()}
+    sd, _ = export_state_dict(params, batch_stats, model, template)
+    ref_model.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()}, strict=True)
+
+
 def test_linear_and_embedding_orientation(ported):
     """Spot-check transpose rules: linear kernels transposed, embedding not."""
     model, params, _, _ = ported

@@ -20,9 +20,11 @@ graph order: `model.{i}.<submodules>`) onto our flax tree (`m{i}_<Module>/...`
   is an embedding table and does NOT transpose.
 
 Usage (torch CPU; unpickling the reference classes uses tools/refstubs.py):
-    python tools/port_torch_weights.py TAM_TR.pt out_dir/
+    python tools/port_torch_weights.py TAM_TR.pt out_dir/   # torch -> flax
+    python tools/port_torch_weights.py --export out_dir/ back.pt  # flax -> torch
 Produces an orbax checkpoint {"params", "batch_stats"} loadable with
-`TAMTR('tamtr.yaml').load(out_dir)`.
+`TAMTR('tamtr.yaml').load(out_dir)`; `--export` is the exact inverse and
+writes a reference-loadable .pt (round-trips bitwise, tests/test_port.py).
 
 Validated by tests/test_port.py: 100% bidirectional name+shape coverage
 against the reference module tree, plus numeric forward parity of the
@@ -255,6 +257,131 @@ def port_state_dict(sd: Dict[str, np.ndarray], model) -> Tuple[Dict, Dict, Dict]
     return params, batch_stats, report
 
 
+def _tree_get(tree: Dict, path: List[str]):
+    node = tree
+    for tok in path:
+        if not isinstance(node, dict) or tok not in node:
+            return None
+        node = node[tok]
+    return node
+
+
+def export_state_dict(
+    params: Dict, batch_stats: Dict, model, template_sd: Dict[str, np.ndarray]
+) -> Tuple[Dict[str, np.ndarray], Dict[str, List[str]]]:
+    """Inverse port: our flax variables -> a reference-keyed state_dict.
+
+    `template_sd` supplies the target key set and shapes (build the
+    reference model on CPU via tools/refstubs.py and take its state_dict).
+    Every transform in `map_torch_key` is inverted exactly (transposes,
+    qkv merge, A_logs/Ds reshape), so port -> export round-trips bitwise.
+
+    Returns (state_dict, report); report lists unexported template keys and
+    shape mismatches — both must be empty for a complete export.
+    """
+    layer_names = {idx: m.replace(".", "_") for idx, f, m, a in model.specs}
+    head_index = model.specs[-1][0] + 1
+
+    sd: Dict[str, np.ndarray] = {}
+    missing: List[str] = []
+    mismatched: List[str] = []
+    for key, tmpl in template_sd.items():
+        if key.endswith("num_batches_tracked"):
+            sd[key] = np.asarray(tmpl)  # torch-side counter, no flax twin
+            continue
+        routes = map_torch_key(key, tuple(tmpl.shape), layer_names, head_index)
+        if not routes:
+            missing.append(key)
+            continue
+        collection, path, transform = routes[0]
+        tree = params if collection == "params" else batch_stats
+        leaf = path[-1]
+        if transform is not None:
+            # the three structured specials, inverted
+            if leaf == "self_attn":  # qkv merge
+                base = path
+                pieces = []
+                for name in ("q_proj", "k_proj", "v_proj"):
+                    p = _tree_get(params, base + [name, "kernel" if key.endswith("weight") else "bias"])
+                    if p is None:
+                        break
+                    pieces.append(np.asarray(p).T if np.asarray(p).ndim == 2 else np.asarray(p))
+                if len(pieces) != 3:
+                    missing.append(key)
+                    continue
+                val = np.concatenate(pieces, axis=0)
+            elif leaf in ("A_logs", "Ds"):
+                p = _tree_get(params, path)
+                if p is None:
+                    missing.append(key)
+                    continue
+                p = np.asarray(p)
+                val = p.reshape((-1,) + p.shape[2:])  # (K, D, ...) -> (K*D, ...)
+            else:  # pragma: no cover - no other specials exist
+                missing.append(key)
+                continue
+        else:
+            p = _tree_get(tree, path)
+            if p is None:
+                missing.append(key)
+                continue
+            val = np.asarray(p)
+            if not (
+                leaf in _VERBATIM_LEAVES
+                or path[-2:] == ["attn", "bias"]
+                or leaf == "denoising_class_embed"
+            ):
+                if val.ndim == 4:  # HWIO -> OIHW
+                    val = np.transpose(val, (3, 2, 0, 1))
+                elif val.ndim == 2 and leaf == "kernel":
+                    val = val.T
+        if tuple(val.shape) != tuple(tmpl.shape):
+            mismatched.append(f"{key}: template{tuple(tmpl.shape)} vs ours{tuple(val.shape)}")
+            continue
+        sd[key] = np.asarray(val, np.float32)
+    return sd, {"missing": missing, "shape_mismatch": mismatched}
+
+
+def export(ckpt_dir: str, out_pt: str, model_yaml: str = "tamtr.yaml", nc: int = 10) -> None:
+    """Export an orbax checkpoint to a reference-loadable .pt file.
+
+    The saved dict mirrors the reference checkpoint layout
+    (`/root/reference/ultralytics/engine/trainer.py:422-447`): {"model":
+    RTDETRDetectionWorldModel with our weights, "train_args": {}} — i.e. a
+    user of the reference can `attempt_load_weights()` it unchanged.
+    """
+    import torch
+
+    import orbax.checkpoint as ocp
+
+    from tools.refstubs import install_reference_stubs
+
+    install_reference_stubs()
+    from ultralytics.nn.tasks import RTDETRDetectionWorldModel
+
+    from tamtr_tpu.nn.graph import TAMTRModel
+
+    ref = RTDETRDetectionWorldModel(
+        "/root/reference/ultralytics/cfg/models/TAMTR/TAMTR.yaml", nc=nc, verbose=False
+    )
+    ref.eval()
+    template = {k: v.float().numpy() for k, v in ref.state_dict().items()}
+
+    restored = ocp.StandardCheckpointer().restore(Path(ckpt_dir).resolve())
+    model = TAMTRModel.from_yaml(model_yaml, nc=nc)
+    sd, report = export_state_dict(
+        restored["params"], restored.get("batch_stats", {}), model, template
+    )
+    problems = {k: v for k, v in report.items() if v}
+    if problems:
+        for k, v in problems.items():
+            print(f"{k}: {len(v)}; first: {v[:5]}")
+        raise SystemExit("export incomplete — see report above")
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()}, strict=True)
+    torch.save({"model": ref, "train_args": {}}, out_pt)
+    print(f"exported {len(sd)} tensors -> {out_pt}")
+
+
 def port(pt_path: str, out_dir: str, model_yaml: str = "tamtr.yaml") -> None:
     import torch
 
@@ -287,4 +414,7 @@ def port(pt_path: str, out_dir: str, model_yaml: str = "tamtr.yaml") -> None:
 
 if __name__ == "__main__":
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    port(*sys.argv[1:3])
+    if sys.argv[1] == "--export":
+        export(*sys.argv[2:4])
+    else:
+        port(*sys.argv[1:3])
