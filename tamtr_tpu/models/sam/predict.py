@@ -87,19 +87,25 @@ class SAMPredictor:
 
     # ------------------------------------------------------------------ jit
     def _encode_fn(self):
+        # variables are jit ARGUMENTS, not closure captures: captured weight
+        # trees are baked into the HLO as literal constants, which bloats the
+        # program past remote-compile request limits (HTTP 413 on the axon
+        # serving runtime for ViT-B's ~91M params) and recompiles on update
         if "encode" not in self._jit_cache:
-            enc, v = self.sam.image_encoder, self.sam.variables["image_encoder"]
-            self._jit_cache["encode"] = jax.jit(lambda img: enc.apply(v, img))
+            enc = self.sam.image_encoder
+            fn = jax.jit(lambda v, img: enc.apply(v, img))
+            v = self.sam.variables["image_encoder"]
+            self._jit_cache["encode"] = lambda img: fn(v, img)
         return self._jit_cache["encode"]
 
     def _decode_fn(self, has_points: bool, has_boxes: bool, has_masks: bool):
         key = ("decode", has_points, has_boxes, has_masks)
         if key not in self._jit_cache:
-            pe_mod, pe_vars = self.sam.prompt_encoder, self.sam.variables["prompt_encoder"]
-            dec_mod, dec_vars = self.sam.mask_decoder, self.sam.variables["mask_decoder"]
+            pe_mod = self.sam.prompt_encoder
+            dec_mod = self.sam.mask_decoder
 
             @jax.jit
-            def run(features, coords, labels, boxes, masks):
+            def run(pe_vars, dec_vars, features, coords, labels, boxes, masks):
                 points = (coords, labels) if has_points else None
                 sparse, dense = pe_mod.apply(
                     pe_vars,
@@ -111,7 +117,11 @@ class SAMPredictor:
                 lowres, iou_pred = dec_mod.apply(dec_vars, features, dense_pe, sparse, dense)
                 return lowres, iou_pred
 
-            self._jit_cache[key] = run
+            pe_v = self.sam.variables["prompt_encoder"]
+            dec_v = self.sam.variables["mask_decoder"]
+            self._jit_cache[key] = lambda features, coords, labels, boxes, masks: run(
+                pe_v, dec_v, features, coords, labels, boxes, masks
+            )
         return self._jit_cache[key]
 
     # ------------------------------------------------------------ image I/O

@@ -94,9 +94,13 @@ class AutoBackend:
                     d = d.setdefault(q, {})
                 d[leaf] = jnp.asarray(data[key])
             self.model = TAMTRModel.from_yaml(model_cfg, nc=nc)
-            self._fn = jax.jit(
-                lambda img, txt: self.model.apply(variables, img, txt, None, False)["pred"]
+            # variables as jit ARGUMENTS (closure-captured weight trees are
+            # baked into the HLO as literal constants — bloats the program
+            # past remote-compile request limits on serving runtimes)
+            jit_fn = jax.jit(
+                lambda v, img, txt: self.model.apply(v, img, txt, None, False)["pred"]
             )
+            self._fn = lambda img, txt, _v=variables: jit_fn(_v, img, txt)
         else:
             self.backend = "jax"
             import jax
@@ -116,9 +120,10 @@ class AutoBackend:
                 from tamtr_tpu.train.trainer import unravel_for_model
 
                 variables["params"] = unravel_for_model(self.model, nc)(pp)
-            self._fn = jax.jit(
-                lambda img, txt: self.model.apply(variables, img, txt, None, False)["pred"]
+            jit_fn = jax.jit(
+                lambda v, img, txt: self.model.apply(v, img, txt, None, False)["pred"]
             )
+            self._fn = lambda img, txt, _v=variables: jit_fn(_v, img, txt)
         self.nc = nc
 
     def __call__(self, img: np.ndarray, txt_feats: np.ndarray) -> np.ndarray:

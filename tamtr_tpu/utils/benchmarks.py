@@ -73,23 +73,27 @@ def profile_model(
     for sz in imgsz_list or [320, 640]:
         txt = jnp.zeros((batch, n_text, 512), jnp.float32)
 
-        def fwd(img):
-            return engine.model.apply(variables, img, txt, None, False)["pred"]
+        # variables as jit arguments: closure-captured weight trees become
+        # HLO literal constants (huge programs, remote-compile 413s)
+        def fwd(v, img):
+            return engine.model.apply(v, img, txt, None, False)["pred"]
 
         @jax.jit
-        def chained(img):
+        def chained_v(v, img):
             def body(c, _):
-                p = fwd(c)
+                p = fwd(v, c)
                 return jnp.clip(c + jnp.tanh(p.mean()) * 1e-3, 0, 1), None
 
             out, _ = jax.lax.scan(body, img, None, length=n_iter)
             return out
 
+        chained = lambda img: chained_v(variables, img)
+
         img = jnp.asarray(
             np.random.default_rng(0).random((batch, sz, sz, 3), dtype=np.float32)
         )
         try:
-            cost = jax.jit(fwd).lower(img).compile().cost_analysis()
+            cost = jax.jit(fwd).lower(variables, img).compile().cost_analysis()
             flops = float(cost.get("flops", 0.0)) if cost else 0.0
         except Exception:
             flops = 0.0
