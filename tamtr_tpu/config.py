@@ -146,6 +146,11 @@ class Config:
     n_devices: Optional[int] = None
     bf16: bool = False
     val_interval: int = 1  # validate every N epochs (1 = reference behavior)
+    # save `last` every N epochs (1 = reference behavior). Each save fetches
+    # the full train state (params+EMA+optimizer, ~0.8 GB for TAM-TR) from
+    # device to host — on tunneled runtimes that dwarfs the step time, so
+    # short runs should raise this. best/final/preemption saves always happen.
+    save_interval: int = 1
 
     def asdict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

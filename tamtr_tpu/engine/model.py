@@ -299,14 +299,20 @@ class Engine:
                     "imgsz": cfg.imgsz,
                     "max_gt": cfg.max_gt,
                 }
-                save_checkpoint(run_dir / "weights" / "last", state, meta)
+                run_save = (
+                    (epoch + 1) % max(cfg.save_interval, 1) == 0
+                    or epoch == cfg.epochs - 1
+                )
+                if run_save:
+                    save_checkpoint(run_dir / "weights" / "last", state, meta)
                 is_best = fitness is not None and fitness >= best_fitness
                 if is_best:
                     best_fitness = fitness
                     save_checkpoint(run_dir / "weights" / "best", state, meta)
-                self.callbacks.fire(
-                    "on_model_save", self, epoch, run_dir / "weights" / "last", is_best
-                )
+                if run_save or is_best:
+                    self.callbacks.fire(
+                        "on_model_save", self, epoch, run_dir / "weights" / "last", is_best
+                    )
             if fitness is not None and stopper(epoch, fitness):
                 LOGGER.info(f"early stopping at epoch {epoch + 1}")
                 self._append_csv(csv_path, row)

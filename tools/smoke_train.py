@@ -108,6 +108,7 @@ def main(argv=None) -> int:
         max_gt=args.max_gt,
         warmup_epochs=args.warmup,  # reference quirk: counted in iterations
         val_interval=args.val_interval,
+        save_interval=args.val_interval,  # tunnel fetch of ~0.8 GB per save
         name=args.name,
         project=str(root / "runs"),
         exist_ok=True,
