@@ -24,9 +24,45 @@ def save_checkpoint(
 ) -> None:
     path = Path(path).resolve()
     path.parent.mkdir(parents=True, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    # single-host: materialize on host FIRST (one device_get), then write
+    # from numpy. Streaming device arrays straight into tensorstore has been
+    # observed to fail mid-commit on tunneled runtimes (OCDBT rename races
+    # that wedge orbax's commit futures and hang wait_until_finished);
+    # multi-host keeps the native orbax path (per-host shard writes).
+    if jax.process_count() == 1:
+        state = jax.device_get(state)
+    last_err = None
+    for attempt in range(2):
+        try:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, state, force=True)
+            ckptr.wait_until_finished()
+            last_err = None
+            break
+        except Exception as e:  # retry once; orbax tmp dirs can be left dirty
+            last_err = e
+            import shutil
+
+            for junk in path.parent.glob(path.name + "*orbax-checkpoint-tmp*"):
+                shutil.rmtree(junk, ignore_errors=True)
+    if last_err is not None:
+        # loud fallback: flat npz of the state tree (AutoBackend can read it)
+        from tamtr_tpu.utils import LOGGER
+
+        npz = path.parent / (path.name + ".npz")
+        LOGGER.warning(
+            f"orbax save failed twice ({last_err}); falling back to {npz}"
+        )
+        import re
+
+        import numpy as np
+
+        flat = {
+            re.sub(r"[\[\]'\".]+", "/", jax.tree_util.keystr(kp)).strip("/"): np.asarray(leaf)
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(state)[0]
+            if hasattr(leaf, "shape")
+        }
+        np.savez(npz, **flat)
     if metadata is not None:
         (path.parent / (path.name + ".meta.json")).write_text(json.dumps(metadata))
 

@@ -91,6 +91,14 @@ def main(argv=None) -> int:
     ap.add_argument("--warmup", type=int, default=100, help="warmup iterations")
     ap.add_argument("--val-interval", type=int, default=20)
     ap.add_argument("--pass-map50", type=float, default=0.5)
+    # learning-curve canary, not the parity protocol: the reference's
+    # conf=0.4 hides all detections until scores calibrate late in training
+    ap.add_argument("--conf", type=float, default=0.05)
+    # nominal batch for gradient accumulation. The recipe default (64)
+    # means one optimizer step per 64/batch micro-batches — right for
+    # VisDrone-scale runs, but on a 16-image canary it cuts the update
+    # count 16x and the loss plateaus. Default pins accumulate=1.
+    ap.add_argument("--nbs", type=int, default=0, help="0 = same as --batch")
     ap.add_argument("--name", default="smoke")
     args = ap.parse_args(argv)
 
@@ -109,6 +117,8 @@ def main(argv=None) -> int:
         warmup_epochs=args.warmup,  # reference quirk: counted in iterations
         val_interval=args.val_interval,
         save_interval=args.val_interval,  # tunnel fetch of ~0.8 GB per save
+        conf=args.conf,
+        nbs=args.nbs or args.batch,
         name=args.name,
         project=str(root / "runs"),
         exist_ok=True,
