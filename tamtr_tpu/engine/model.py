@@ -1035,9 +1035,27 @@ class Engine:
 
     @staticmethod
     def _append_csv(path: Path, row: Dict[str, Any]) -> None:
-        new = not path.exists()
-        with open(path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(row))
-            if new:
-                w.writeheader()
-            w.writerow(row)
+        """Append a row, rewriting the file when new columns appear.
+
+        Val metrics only exist on val epochs, so the column set can grow
+        mid-run (val_interval > 1); a fixed first-row header would shift
+        those fields into unnamed columns."""
+        rows: List[Dict[str, Any]] = []
+        fields: List[str] = []
+        if path.exists():
+            with open(path, newline="") as f:
+                r = csv.DictReader(f)
+                fields = list(r.fieldnames or [])
+                rows = list(r)
+        new_fields = fields + [k for k in row if k not in fields]
+        if new_fields == fields and fields and list(row) == fields:
+            with open(path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=fields).writerow(row)
+            return
+        rows.append({k: row.get(k, "") for k in new_fields})
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=new_fields, restval="")
+            w.writeheader()
+            for rr in rows:
+                rr.pop(None, None)
+                w.writerow(rr)

@@ -367,3 +367,21 @@ def test_cli_parse():
         parse_args(["detect"])  # no mode
     with pytest.raises(SystemExit):
         parse_args(["detect", "trian"])  # typo
+
+
+def test_append_csv_grows_columns(tmp_path):
+    """Val columns appear mid-run (val_interval > 1); header must grow."""
+    import csv
+
+    from tamtr_tpu.engine.model import Engine
+
+    p = tmp_path / "results.csv"
+    Engine._append_csv(p, {"epoch": 1, "loss": 2.0})
+    Engine._append_csv(p, {"epoch": 2, "loss": 1.5})
+    Engine._append_csv(p, {"epoch": 3, "loss": 1.0, "mAP50": 0.3})
+    Engine._append_csv(p, {"epoch": 4, "loss": 0.9})
+    rows = list(csv.DictReader(open(p)))
+    assert [r["epoch"] for r in rows] == ["1", "2", "3", "4"]
+    assert rows[2]["mAP50"] == "0.3"
+    assert rows[0]["mAP50"] == "" and rows[3]["mAP50"] == ""
+    assert all(None not in r for r in rows)

@@ -60,7 +60,7 @@ def main(argv=None) -> int:
         print("\nmAP curve (epoch, mAP50, mAP50-95, fitness):")
         with open(csv_path) as f:
             for row in csv.DictReader(f):
-                keys = {k.strip(): v for k, v in row.items()}
+                keys = {k.strip(): v for k, v in row.items() if k}
                 print(
                     "  {:>4} {:>8} {:>8} {:>8}".format(
                         keys.get("epoch", "?"),
