@@ -151,7 +151,12 @@ class MSDeformAttn(nn.Module):
         nh, nl, P = self.n_heads, self.n_levels, self.n_points
         c = C // nh
 
-        v = nn.Dense(C, name="value_proj", kernel_init=nn.initializers.xavier_uniform())(value)
+        # big matmuls follow the input dtype (bf16 under model.dtype=bf16;
+        # flax's default promotes against fp32 params and silently runs fp32).
+        # Sampling offsets/weights stay at default precision: coordinates
+        # feed the bilinear gather and bf16 quantization costs box accuracy.
+        v = nn.Dense(C, name="value_proj", dtype=value.dtype,
+                     kernel_init=nn.initializers.xavier_uniform())(value)
         v = v.reshape(B, -1, nh, c)
 
         off = nn.Dense(
@@ -174,7 +179,8 @@ class MSDeformAttn(nn.Module):
         loc = xy + off / P * wh * 0.5
 
         out = ms_deform_attn_core(v, shapes, loc, w)
-        return nn.Dense(C, name="output_proj", kernel_init=nn.initializers.xavier_uniform())(out)
+        return nn.Dense(C, name="output_proj", dtype=out.dtype,
+                        kernel_init=nn.initializers.xavier_uniform())(out)
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -189,15 +195,15 @@ class MultiHeadSelfAttention(nn.Module):
         B, Q, C = q.shape
         h = self.num_heads
         d = C // h
-        qp = nn.Dense(C, name="q_proj")(q).reshape(B, Q, h, d)
-        kp = nn.Dense(C, name="k_proj")(k).reshape(B, -1, h, d)
-        vp = nn.Dense(C, name="v_proj")(v).reshape(B, -1, h, d)
+        qp = nn.Dense(C, name="q_proj", dtype=q.dtype)(q).reshape(B, Q, h, d)
+        kp = nn.Dense(C, name="k_proj", dtype=q.dtype)(k).reshape(B, -1, h, d)
+        vp = nn.Dense(C, name="v_proj", dtype=q.dtype)(v).reshape(B, -1, h, d)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / math.sqrt(d)
         if mask is not None:
             logits = jnp.where(mask[None, None, :, :], -jnp.inf, logits)
-        att = jax.nn.softmax(logits, axis=-1)
+        att = jax.nn.softmax(logits, axis=-1).astype(vp.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, vp).reshape(B, Q, C)
-        return nn.Dense(C, name="out_proj")(out)
+        return nn.Dense(C, name="out_proj", dtype=out.dtype)(out)
 
 
 class ContrastiveHead(nn.Module):
@@ -232,14 +238,14 @@ class DeformableDecoderLayer(nn.Module):
         query_pos = query_pos.astype(embed.dtype)
         q = k = embed + query_pos
         tgt = MultiHeadSelfAttention(self.n_heads, name="self_attn")(q, k, embed, attn_mask)
-        embed = nn.LayerNorm(name="norm1")(embed + tgt)
+        embed = nn.LayerNorm(name="norm1", dtype=embed.dtype)(embed + tgt)
         tgt = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn"
         )(embed + query_pos, refer_bbox, feats, shapes)
-        embed = nn.LayerNorm(name="norm2")(embed + tgt)
-        ff = nn.Dense(self.d_ffn, name="linear1")(embed)
-        ff = nn.Dense(self.d_model, name="linear2")(nn.relu(ff))
-        return nn.LayerNorm(name="norm3")(embed + ff)
+        embed = nn.LayerNorm(name="norm2", dtype=embed.dtype)(embed + tgt)
+        ff = nn.Dense(self.d_ffn, name="linear1", dtype=embed.dtype)(embed)
+        ff = nn.Dense(self.d_model, name="linear2", dtype=embed.dtype)(nn.relu(ff))
+        return nn.LayerNorm(name="norm3", dtype=embed.dtype)(embed + ff)
 
 
 class DecouplingDecoderLayer(nn.Module):
@@ -503,6 +509,7 @@ class ManbaWorldDecoder(nn.Module):
         proj = []
         for i, f in enumerate(feats):
             p = nn.Conv(self.hd, (1, 1), use_bias=False, name=f"input_proj{i}_conv",
+                        dtype=f.dtype,
                         kernel_init=nn.initializers.xavier_uniform())(f)
             p = nn.BatchNorm(
                 use_running_average=not train,
@@ -510,7 +517,7 @@ class ManbaWorldDecoder(nn.Module):
                 epsilon=BN_EPS,
                 name=f"input_proj{i}_bn",
                 dtype=jnp.float32,
-            )(p)
+            )(p).astype(f.dtype)  # BN stats fp32; stream keeps compute dtype
             proj.append(p.reshape(B, -1, self.hd))
         flat = jnp.concatenate(proj, axis=1)  # (B, L, hd)
 
@@ -551,9 +558,11 @@ class ManbaWorldDecoder(nn.Module):
         anchors = jnp.asarray(anchors_np)[None]  # (1, L, 4)
         valid_mask = jnp.asarray(valid_np.astype(np.float32))[None]  # (1, L, 1)
 
-        features = nn.Dense(self.hd, name="enc_output_dense",
-                            kernel_init=nn.initializers.xavier_uniform())(valid_mask * flat)
-        features = nn.LayerNorm(name="enc_output_norm")(features)
+        features = nn.Dense(self.hd, name="enc_output_dense", dtype=flat.dtype,
+                            kernel_init=nn.initializers.xavier_uniform())(
+            valid_mask.astype(flat.dtype) * flat
+        )
+        features = nn.LayerNorm(name="enc_output_norm", dtype=features.dtype)(features)
 
         bias_cls = float(-math.log((1 - 0.01) / 0.01) / 80 * self.nc)
         enc_scores_all = nn.Dense(

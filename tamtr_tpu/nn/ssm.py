@@ -212,7 +212,10 @@ class SS2D(nn.Module):
         K = 4
         L = H * W
 
-        xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj")(x)
+        # computation dtype follows the input (bf16 under model.dtype=bf16);
+        # with the flax default (None) fp32 params silently promote bf16
+        # activations back to fp32 and the MXU runs full precision
+        xz = nn.Dense(2 * d_inner, use_bias=False, name="in_proj", dtype=x.dtype)(x)
         xm, z = jnp.split(xz, 2, axis=-1)
         z = nn.silu(z)
 
@@ -224,6 +227,7 @@ class SS2D(nn.Module):
             feature_group_count=d_inner,
             use_bias=True,
             name="conv2d",
+            dtype=xm.dtype,
         )(xm)
         xm = nn.silu(xm)
 
@@ -290,7 +294,7 @@ class SS2D(nn.Module):
         y = nn.LayerNorm(name="out_norm", dtype=jnp.float32)(y)
         y = y.astype(x.dtype).reshape(B, H, W, d_inner)
         y = y * z
-        return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
+        return nn.Dense(self.d_model, use_bias=False, name="out_proj", dtype=y.dtype)(y)
 
 
 class Mlp(nn.Module):
@@ -301,9 +305,9 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, name="fc1", dtype=x.dtype)(x)
         x = nn.gelu(x)
-        return nn.Dense(self.out, name="fc2")(x)
+        return nn.Dense(self.out, name="fc2", dtype=x.dtype)(x)
 
 
 class VSSBlock(nn.Module):
@@ -321,7 +325,7 @@ class VSSBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        y = nn.LayerNorm(name="norm")(x)
+        y = nn.LayerNorm(name="norm", dtype=x.dtype)(x)
         y = SS2D(
             self.hidden_dim,
             d_state=self.ssm_d_state,
@@ -330,6 +334,6 @@ class VSSBlock(nn.Module):
             name="op",
         )(y, train)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=not train)
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(name="norm2", dtype=x.dtype)(x)
         y = Mlp(int(self.hidden_dim * self.mlp_ratio), self.hidden_dim, name="mlp")(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=not train)
