@@ -144,6 +144,11 @@ class Config:
     match_method: str = "auto"
     text_embeddings: Optional[str] = None  # npz with per-class CLIP embeddings
     n_devices: Optional[int] = None
+    # FSDP/ZeRO degree: shard the flat master-params/Adam/EMA vectors over a
+    # second 'model' mesh axis of this size (1 = pure DP, the reference's
+    # only mode). Per-chip optimizer-state memory drops by this factor; the
+    # train step all-gathers params once and reduce-scatters gradients.
+    fsdp: int = 1
     bf16: bool = False
     val_interval: int = 1  # validate every N epochs (1 = reference behavior)
     # save `last` every N epochs (1 = reference behavior). Each save fetches

@@ -29,7 +29,13 @@ from tamtr_tpu.data.text import class_text_embeddings
 from tamtr_tpu.losses.detr_loss import DETRLossConfig, rtdetr_detection_loss
 from tamtr_tpu.nn.graph import TAMTRModel
 from tamtr_tpu.ops.nms import postprocess_predictions
-from tamtr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from tamtr_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    train_state_shardings,
+)
 from tamtr_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
 from tamtr_tpu.utils.log import LOGGER
 from tamtr_tpu.utils.metrics import DetMetrics, match_predictions
@@ -132,12 +138,17 @@ class Engine:
                 probe_tc, nc, cfg.imgsz, cfg.max_gt, default=4,
             )
         n_avail = len(jax.devices())
+        fsdp = max(int(cfg.fsdp or 1), 1)
         n_dev = cfg.n_devices or max(
-            d for d in range(1, n_avail + 1) if cfg.batch % d == 0
+            d
+            for d in range(1, n_avail + 1)
+            if d % fsdp == 0 and cfg.batch % (d // fsdp) == 0
         )
-        mesh = make_mesh(n_dev)
-        assert cfg.batch % n_dev == 0, (
-            f"batch {cfg.batch} must divide over {n_dev} devices"
+        mesh = make_mesh(n_dev, model_parallel=fsdp)
+        n_data = n_dev // fsdp
+        assert n_dev % fsdp == 0 and cfg.batch % n_data == 0, (
+            f"batch {cfg.batch} must divide over {n_data} data-parallel devices"
+            f" (n_devices={n_dev}, fsdp={fsdp})"
         )
 
         aug = AugConfig(
@@ -183,13 +194,15 @@ class Engine:
             steps_per_epoch=steps_per_epoch, max_gt=cfg.max_gt,
         )
         step_fn = make_train_step(
-            model, tx, None, tc, loss_callable=self._loss_callable_for(model, cfg, nc)
+            model, tx, None, tc,
+            loss_callable=self._loss_callable_for(model, cfg, nc), mesh=mesh,
         )
 
         repl, bsh = replicated(mesh), batch_sharding(mesh)
-        state = jax.device_put(state, repl)
+        ssh = train_state_shardings(mesh, state)  # FSDP-shards flat vectors
+        state = jax.device_put(state, ssh)
         jit_step = jax.jit(
-            step_fn, in_shardings=(repl, bsh, None), out_shardings=(repl, repl),
+            step_fn, in_shardings=(ssh, bsh, None), out_shardings=(ssh, repl),
             donate_argnums=(0,),
         )
 
@@ -389,10 +402,13 @@ class Engine:
         self.names = train_ds.names
         self.txt_feats = np.zeros((1, 512), np.float32)
 
+        fsdp = max(int(cfg.fsdp or 1), 1)
         n_dev = cfg.n_devices or max(
-            d for d in range(1, len(jax.devices()) + 1) if cfg.batch % d == 0
+            d
+            for d in range(1, len(jax.devices()) + 1)
+            if d % fsdp == 0 and cfg.batch % (d // fsdp) == 0
         )
-        mesh = make_mesh(n_dev)
+        mesh = make_mesh(n_dev, model_parallel=fsdp)
         loader = ClassificationLoader(
             train_ds, cfg.batch, seed=cfg.seed,
             process_index=jax.process_index(), process_count=jax.process_count(),
@@ -421,11 +437,12 @@ class Engine:
             acc = (outputs["logits"].argmax(-1) == labels).mean()
             return loss, {"cls": loss, "top1": acc}
 
-        step_fn = make_train_step(model, tx, None, tc, loss_callable=ce_loss)
+        step_fn = make_train_step(model, tx, None, tc, loss_callable=ce_loss, mesh=mesh)
         repl, bsh = replicated(mesh), batch_sharding(mesh)
-        state = jax.device_put(state, repl)
+        ssh = train_state_shardings(mesh, state)
+        state = jax.device_put(state, ssh)
         jit_step = jax.jit(
-            step_fn, in_shardings=(repl, bsh, None), out_shardings=(repl, repl),
+            step_fn, in_shardings=(ssh, bsh, None), out_shardings=(ssh, repl),
             donate_argnums=(0,),
         )
         run_dir = Path(cfg.project or "runs/classify") / (cfg.name or "train")

@@ -96,10 +96,29 @@ class TrainState(struct.PyTreeNode):
         return self.unravel(self.ema_params) if self.unravel else self.ema_params
 
 
+# flat vectors are zero-padded to a multiple of this so the FSDP 'model'
+# mesh axis (any power-of-2 size up to 2048) shards them evenly; `unravel`
+# ignores the tail, and the optimizer math is exact on zeros (masks are
+# False / grads are 0 in the pad region), so padding is semantically inert
+PAD_MULTIPLE = 2048
+
+
+def padded_size(n: int, multiple: int = PAD_MULTIPLE) -> int:
+    return n + (-n) % multiple
+
+
+def _pad_flat(flat: jnp.ndarray, multiple: int = PAD_MULTIPLE) -> jnp.ndarray:
+    pad = (-flat.shape[0]) % multiple
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return flat
+
+
 def flatten_tree(tree) -> jnp.ndarray:
-    """Concat all leaves (tree_flatten order, row-major ravel) into (P,) f32."""
+    """Concat all leaves (tree_flatten order, row-major ravel) into (P,) f32,
+    zero-padded to PAD_MULTIPLE (see above)."""
     leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
+    return _pad_flat(jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves]))
 
 
 def unravel_for(shapes_tree) -> Callable:
@@ -260,6 +279,7 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.Grad
         """Masks need the STRUCTURED tree (names/shapes); pass the model's
         params tree here even when training on the flat vector."""
         flat, _ = ravel_pytree(params_tree)
+        flat = _pad_flat(flat)
         dm_flat, _ = ravel_pytree(
             jax.tree.map(
                 lambda p, m: np.full(p.shape, m, bool), params_tree,
@@ -272,6 +292,8 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.Grad
                 _bias_mask(params_tree),
             )
         )
+        dm_flat = _pad_flat(jnp.asarray(dm_flat))
+        bm_flat = _pad_flat(jnp.asarray(bm_flat))
         # m, v, acc must be DISTINCT buffers: donating one buffer twice is an
         # execute-time error ("attempt to donate the same buffer twice")
         return FlatOptState(
@@ -295,6 +317,13 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.Grad
             g, unravel = ravel_pytree(grads)
         else:
             g = grads
+        n_real = g.shape[0]  # caller's length (raw or already padded)
+        if n_real < state.m.shape[0]:
+            g = _pad_flat(g)  # raw (unpadded) flat gradient: zero-extend
+        if g.shape != state.m.shape:
+            raise ValueError(
+                f"flat gradient length {g.shape} != optimizer state {state.m.shape}"
+            )
         ni = state.ni
         acc = state.acc + g  # summed, like repeated .backward()
         do_step = (ni - state.last_opt).astype(jnp.float32) >= _accumulate_at(ni)
@@ -317,7 +346,9 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.Grad
             if hasattr(params, "ndim") and params.ndim == 1:
                 p_flat = params
             else:
-                p_flat, _ = ravel_pytree(params)
+                p_flat = ravel_pytree(params)[0]
+            if p_flat.shape[0] < state.m.shape[0]:
+                p_flat = _pad_flat(p_flat)
             upd = upd + jnp.where(state.decay_mask, wd * p_flat, 0.0)
         lr_elem = jnp.where(state.bias_mask, lr_bias(ni), lr_main(ni))
         upd = (-s * lr_elem) * upd  # zero update on non-step minibatches
@@ -333,7 +364,9 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int) -> optax.Grad
             state.bias_mask,
         )
         if structured:
-            upd = unravel(upd)
+            upd = unravel(upd[:n_real])
+        elif n_real != upd.shape[0]:
+            upd = upd[:n_real]  # match the caller's raw flat length
         return upd, new_state
 
     return optax.GradientTransformation(init, update)
@@ -399,6 +432,7 @@ def make_train_step(
     loss_cfg: Any,
     cfg: TrainConfig,
     loss_callable: Optional[Callable] = None,
+    mesh: Any = None,
 ) -> Callable:
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
 
@@ -406,11 +440,28 @@ def make_train_step(
     cls (B,M) int32; bboxes (B,M,4) normalized cxcywh; mask (B,M) bool.
     `loss_callable(outputs, targets) -> (loss, items)` defaults to the
     RT-DETR detection loss; the YOLO task passes `v8_detection_loss`.
+
+    `mesh`: pass a 2-D ('data', 'model') mesh (see `parallel.mesh.make_mesh`
+    with model_parallel>1) to run FSDP/ZeRO-sharded: the flat master params,
+    Adam moments, accumulation buffer, and EMA live sharded over the 'model'
+    axis (place the state with `parallel.mesh.train_state_shardings`); the
+    step all-gathers params once for compute and reduce-scatters the flat
+    gradient, so per-chip optimizer-state memory drops by the axis size.
     """
     if loss_callable is None:
         loss_callable = lambda outputs, targets: rtdetr_detection_loss(
             outputs, targets, loss_cfg
         )
+
+    fsdp_repl = fsdp_shard = None
+    if mesh is not None:
+        from tamtr_tpu.parallel.mesh import MODEL_AXIS, fsdp_size
+
+        if fsdp_size(mesh) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            fsdp_repl = NamedSharding(mesh, PartitionSpec())
+            fsdp_shard = NamedSharding(mesh, PartitionSpec(MODEL_AXIS))
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         targets = {"cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
@@ -438,10 +489,20 @@ def make_train_step(
         # every leaf's slice transpose into a pad-then-add on the whole (P,)
         # vector — profiled at ~76 ms/step of `pad_add` fusions at 42M
         # params. Tree-grad + one explicit concat is two bandwidth passes.
-        params_tree = unravel(state.params) if unravel else state.params
+        p_flat = state.params
+        if fsdp_repl is not None and unravel:
+            # FSDP: params live sharded over the 'model' axis; gather the
+            # full vector ONCE for compute (XLA emits a single all-gather)
+            p_flat = jax.lax.with_sharding_constraint(p_flat, fsdp_repl)
+        params_tree = unravel(p_flat) if unravel else state.params
         (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_tree)
         if unravel:
             grads = flatten_tree(grads)
+            if fsdp_shard is not None:
+                # drop the replicated flat gradient onto the sharded layout
+                # (XLA turns the batch-axis psum + this into reduce-scatter);
+                # all optimizer/EMA math below then runs sharded
+                grads = jax.lax.with_sharding_constraint(grads, fsdp_shard)
         gnorm = optax.global_norm(grads)
         if cfg.skip_nonfinite:
             # NaN guard without retaining old copies: zero the gradients and

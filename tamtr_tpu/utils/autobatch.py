@@ -118,7 +118,9 @@ def autobatch_train(
     params_sds = shapes["params"]
     batch_stats_sds = shapes.get("batch_stats", {})
     leaves = jax.tree_util.tree_leaves(params_sds)
-    P = int(sum(np.prod(l.shape) for l in leaves))
+    from tamtr_tpu.train.trainer import padded_size
+
+    P = padded_size(int(sum(np.prod(l.shape) for l in leaves)))
     flat = jax.ShapeDtypeStruct((P,), jnp.float32)
     flatb = jax.ShapeDtypeStruct((P,), jnp.bool_)
     scalar_i = jax.ShapeDtypeStruct((), jnp.int32)

@@ -124,9 +124,118 @@ def add_csv_logger(callbacks: "Callbacks", path) -> bool:
     return True
 
 
+def add_comet(callbacks: "Callbacks", project: str = "tamtr_tpu") -> bool:
+    """Comet ML integration (reference `callbacks/comet.py`); gated."""
+    try:
+        import comet_ml
+    except ImportError:
+        return False
+    exp = comet_ml.Experiment(project_name=project)
+
+    def on_fit_epoch_end(engine, epoch, metrics):
+        exp.log_metrics(
+            {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))},
+            epoch=epoch,
+        )
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    callbacks.add("on_train_end", lambda *a, **k: exp.end())
+    return True
+
+
+def add_clearml(callbacks: "Callbacks", project: str = "tamtr_tpu", task_name: str = "train") -> bool:
+    """ClearML integration (reference `callbacks/clearml.py`); gated."""
+    try:
+        from clearml import Task
+    except ImportError:
+        return False
+    task = Task.init(project_name=project, task_name=task_name)
+    logger = task.get_logger()
+
+    def on_fit_epoch_end(engine, epoch, metrics):
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                logger.report_scalar("train", k, float(v), iteration=epoch)
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    callbacks.add("on_train_end", lambda *a, **k: task.close())
+    return True
+
+
+def add_neptune(callbacks: "Callbacks", project: str = "tamtr_tpu") -> bool:
+    """Neptune integration (reference `callbacks/neptune.py`); gated."""
+    try:
+        import neptune
+    except ImportError:
+        return False
+    run = neptune.init_run(project=project)
+
+    def on_fit_epoch_end(engine, epoch, metrics):
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                run[f"train/{k}"].append(float(v), step=epoch)
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    callbacks.add("on_train_end", lambda *a, **k: run.stop())
+    return True
+
+
+def add_dvc(callbacks: "Callbacks") -> bool:
+    """DVCLive integration (reference `callbacks/dvc.py`); gated."""
+    try:
+        from dvclive import Live
+    except ImportError:
+        return False
+    live = Live(save_dvc_exp=True)
+
+    def on_fit_epoch_end(engine, epoch, metrics):
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                live.log_metric(k, float(v))
+        live.next_step()
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    callbacks.add("on_train_end", lambda *a, **k: live.end())
+    return True
+
+
+def add_raytune(callbacks: "Callbacks") -> bool:
+    """Ray Tune session reporting (reference `callbacks/raytune.py`): pushes
+    per-epoch metrics to an active tune session so schedulers (ASHA, PBT)
+    can early-stop trials; gated on ray being installed AND a session being
+    active."""
+    try:
+        from ray import train as ray_train
+        from ray.tune import is_session_enabled  # ray<2.7 fallback handled below
+    except ImportError:
+        try:
+            from ray import tune as ray_train  # legacy report API
+
+            is_session_enabled = lambda: getattr(ray_train, "is_session_enabled", lambda: False)()
+        except ImportError:
+            return False
+
+    def on_fit_epoch_end(engine, epoch, metrics):
+        try:
+            if is_session_enabled():
+                ray_train.report(
+                    {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))}
+                )
+        except Exception:
+            pass
+
+    callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    return True
+
+
 DEFAULT_INTEGRATIONS = {
     "tensorboard": add_tensorboard,
     "wandb": add_wandb,
     "mlflow": add_mlflow,
     "csv": add_csv_logger,
+    "comet": add_comet,
+    "clearml": add_clearml,
+    "neptune": add_neptune,
+    "dvc": add_dvc,
+    "raytune": add_raytune,
 }

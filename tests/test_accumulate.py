@@ -95,11 +95,18 @@ def test_momentum_warmup_beta1():
     )
     tx = make_optimizer(cfg, PARAMS, steps_per_epoch=10)
     opt = tx.init(PARAMS)
-    g = jnp.full_like(opt.m, 0.5)
-    p = jnp.zeros_like(opt.m)
-    _, opt1 = tx.update(g, opt, p)  # steps at ni=0 (accumulate target 1)
+    # grads live only in the REAL param region; the flat-vector pad (see
+    # trainer.PAD_MULTIPLE) must stay zero or it inflates the clip norm
+    from jax.flatten_util import ravel_pytree
+
+    g_real, _ = ravel_pytree(jax.tree.map(lambda x: jnp.full_like(x, 0.5), PARAMS))
+    p = jnp.zeros_like(g_real)
+    upd, opt1 = tx.update(g_real, opt, p)  # steps at ni=0 (accumulate target 1)
     assert int(opt1.count) == 1
-    np.testing.assert_allclose(np.asarray(opt1.m), 0.2 * np.asarray(g), rtol=1e-5)
+    assert upd.shape == g_real.shape  # raw-length in, raw-length out
+    np.testing.assert_allclose(
+        np.asarray(opt1.m[: g_real.shape[0]]), 0.2 * np.asarray(g_real), rtol=1e-5
+    )
 
 
 def test_ema_ticks_only_on_optimizer_steps():
