@@ -19,7 +19,7 @@ import sys
 from typing import Any, Dict, List
 
 TASKS = ("detect", "segment", "pose", "classify")
-MODES = ("train", "val", "predict", "track", "export", "benchmark", "tune")
+MODES = ("train", "val", "predict", "track", "export", "benchmark", "tune", "serve")
 
 # default model yaml per task (detect is the flagship TAM-TR)
 TASK_MODELS = {
@@ -75,6 +75,22 @@ def parse_args(argv: List[str]):
 def main(argv: List[str] | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     task, mode, ov = parse_args(argv)
+    if mode == "serve":
+        # `yolo serve model=<ckpt> port=8000` — HTTP inference server
+        # (tamtr_tpu.serve; the reference's Triton-serving analogue)
+        from tamtr_tpu.serve import serve_checkpoint
+
+        srv = serve_checkpoint(
+            str(ov.pop("model")),
+            endpoint=str(ov.pop("endpoint", "tamtr")),
+            host=str(ov.pop("host", "0.0.0.0")),
+            port=int(ov.pop("port", 8000)),
+            nc=ov.pop("nc", None),
+            imgsz=int(ov.pop("imgsz", 640)),
+        )
+        print(f"serving at {srv.url}")
+        srv.serve_forever()
+        return
     from tamtr_tpu import TAMTR
 
     model_arg = ov.pop("model", TASK_MODELS[task])

@@ -31,6 +31,15 @@ class AutoBackend:
         imgsz: int = 640,
     ) -> None:
         self.imgsz = imgsz
+        if isinstance(weights, str) and "://" in weights:
+            # remote serving endpoint (reference `nn/autobackend.py` triton
+            # row): weights = "http://host:port/<endpoint>"
+            self.backend = "remote"
+            from tamtr_tpu.serve import RemoteModel
+
+            self._remote = RemoteModel(weights)
+            self.nc = nc or self._remote.meta.get("nc")
+            return
         p = Path(weights)
         if p.suffix == ".tflite":
             self.backend = "tflite"
@@ -128,6 +137,8 @@ class AutoBackend:
 
     def __call__(self, img: np.ndarray, txt_feats: np.ndarray) -> np.ndarray:
         """img (B, H, W, 3) float32 [0,1]; txt (B, K, 512) -> (B, nq, 4+nc)."""
+        if self.backend == "remote":
+            return self._remote(img, txt_feats)[0]
         if self.backend == "tflite":
             # select inputs by shape signature (rank-4 = image, rank-3 with
             # 512-last-dim = text) — size ordering can swap them when the
