@@ -74,6 +74,22 @@ def parse_args(argv: List[str]):
 
 def main(argv: List[str] | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
+    if argv and argv[0] == "settings":
+        # `yolo settings [reset] [k=v ...]` (reference handle_yolo_settings,
+        # `cfg/__init__.py:239-260`)
+        import yaml as _yaml
+
+        from tamtr_tpu.utils.settings import SETTINGS
+
+        rest = argv[1:]
+        if rest and rest[0] == "reset":
+            SETTINGS.reset()
+            print("settings reset to defaults")
+        elif rest:
+            SETTINGS.update({k: _parse_value(v) for k, v in (a.split("=", 1) for a in rest)})
+            SETTINGS.save()
+        print(_yaml.safe_dump(dict(SETTINGS), sort_keys=False))
+        return
     task, mode, ov = parse_args(argv)
     if mode == "serve":
         # `yolo serve model=<ckpt> port=8000` — HTTP inference server

@@ -217,6 +217,15 @@ class Engine:
             from tamtr_tpu.utils.callbacks import add_tensorboard
 
             add_tensorboard(self.callbacks, str(run_dir / "tb"))
+        # SETTINGS-gated logger integrations (reference attaches every
+        # installed+enabled callback suite, `utils/callbacks/base.py:144-218`);
+        # tensorboard is handled above (plots-gated), so mask it here
+        from tamtr_tpu.utils.callbacks import attach_integrations
+        from tamtr_tpu.utils.settings import SETTINGS
+
+        attach_integrations(
+            self.callbacks, run_dir, settings={**SETTINGS, "tensorboard": False}
+        )
         csv_path = run_dir / "results.csv"
         start_epoch = 0
         if cfg.resume and (run_dir / "weights" / "last").exists():

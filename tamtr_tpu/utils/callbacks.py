@@ -239,3 +239,29 @@ DEFAULT_INTEGRATIONS = {
     "dvc": add_dvc,
     "raytune": add_raytune,
 }
+
+
+def attach_integrations(callbacks: "Callbacks", run_dir, settings=None) -> list:
+    """Attach every integration that is (a) enabled in the persistent
+    SETTINGS (reference gates callbacks on `settings.yaml` flags,
+    `utils/callbacks/*.py`) and (b) actually installed. Returns the names
+    that attached. TensorBoard logs under `<run_dir>/tb`; the rest use
+    their service defaults."""
+    if settings is None:
+        from tamtr_tpu.utils.settings import SETTINGS as settings  # noqa: N811
+
+    attached = []
+    for name, add in DEFAULT_INTEGRATIONS.items():
+        if name == "csv" or not settings.get(name, False):
+            continue  # csv is built into the trainer's results.csv
+        try:
+            ok = (
+                add(callbacks, str(run_dir / "tb"))
+                if name == "tensorboard"
+                else add(callbacks)
+            )
+        except Exception:
+            ok = False  # a misconfigured service never blocks training
+        if ok:
+            attached.append(name)
+    return attached
