@@ -168,11 +168,17 @@ def _run_scan(u, dt, A_t, Bs, Cs, chunk: int, reverse: bool):
 def selective_scan_pallas(u, delta, A, Bs, Cs, D, chunk: int = DEFAULT_CHUNK):
     """Same contract as `selective_scan_xla`:
     u, delta: (G, L, Din); A: (G, Din, N); Bs, Cs: (G, L, N); D: (G, Din) or None.
+
+    This unfused entry is fp32-only in-kernel; non-fp32 inputs are upcast
+    (the fused `ss2d_scan` is the bf16-I/O production path).
     """
+    out_dtype = u.dtype
+    f32 = jnp.float32
+    u, delta, Bs, Cs = u.astype(f32), delta.astype(f32), Bs.astype(f32), Cs.astype(f32)
     y, _ = _run_scan(u, delta, A.transpose(0, 2, 1), Bs, Cs, chunk, reverse=False)
     if D is not None:
         y = y + u * D[:, None, :]
-    return y
+    return y.astype(out_dtype)
 
 
 def _fwd(u, delta, A, Bs, Cs, D, chunk):
@@ -433,21 +439,26 @@ def _ss2d_kernel(
     *, reverse: bool
 ):
     """Refs: u (1,S,Dblk); dt_raw (1,S,R); dt_w (1,R,Dblk); dt_bias (1,1,Dblk);
-    A (1,N,Dblk); B, C (1,S,N); Dskip (1,1,Dblk); y (1,S,Dblk); h scratch (N,Dblk)."""
+    A (1,N,Dblk); B, C (1,S,N); Dskip (1,1,Dblk); y (1,S,Dblk); h scratch (N,Dblk).
+
+    Sequence inputs (u/dt_raw/B/C) and the y output may be bf16 (model
+    dtype bf16 halves the scan's HBM traffic); all in-kernel math and the
+    recurrent state run fp32 regardless (reference force_fp32 semantics)."""
     s_idx = pl.program_id(2)
 
     @pl.when(s_idx == 0)
     def _():
         h_ref[...] = jnp.zeros_like(h_ref)
 
-    u = u_ref[0]  # (S, Dblk)
+    f32 = jnp.float32
+    u = u_ref[0].astype(f32)  # (S, Dblk)
     # dt projection on the MXU + softplus (reference does this as a separate
     # einsum materializing (B, K, L, D) in HBM)
-    dt = jnp.dot(dtr_ref[0], dtw_ref[0], preferred_element_type=jnp.float32)
+    dt = jnp.dot(dtr_ref[0].astype(f32), dtw_ref[0], preferred_element_type=f32)
     dt = jax.nn.softplus(dt + dtb_ref[0])  # (S, Dblk)
     A = A_ref[0]  # (N, Dblk)
-    Bc = B_ref[0]  # (S, N)
-    Cc = C_ref[0]  # (S, N)
+    Bc = B_ref[0].astype(f32)  # (S, N)
+    Cc = C_ref[0].astype(f32)  # (S, N)
 
     a = jnp.exp(dt[:, None, :] * A[None])  # (S, N, Dblk)
     b = (dt * u)[:, None, :] * Bc[:, :, None]
@@ -464,7 +475,7 @@ def _ss2d_kernel(
         y = jnp.sum(h_all * Cc[:, :, None], axis=1)
         edge = 0 if reverse else S - 1
         h_last = h_all[edge : edge + 1].reshape(h_ref.shape)
-    y_ref[0] = y + u * D_ref[0]
+    y_ref[0] = (y + u * D_ref[0]).astype(y_ref.dtype)
     h_ref[...] = h_last
 
 
@@ -511,7 +522,7 @@ def _run_ss2d_scan(u, dt_raw, dt_w, dt_b, A_t, Bs, Cs, Dskip, chunk, reverse):
             pl.BlockSpec((1, 1, Dblk), didx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, S, Dblk), sidx, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, Lp, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((G, Lp, D), u.dtype),
         scratch_shapes=[pltpu.VMEM((N, Dblk), jnp.float32)],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
@@ -529,9 +540,17 @@ def ss2d_scan_xla(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk=128):
     Bs, Cs: (B, 2, 2, L, N); Ds: (K, D). Direction order k = (row-fwd,
     col-fwd, row-rev, col-rev) matching the reference CrossScan.
     Returns y: (B, 4, L, D) per-direction outputs in natural (unflipped) order.
+
+    I/O follows the caller dtype (bf16 under model dtype bf16), all internal
+    math fp32 — the same contract as the Pallas kernel.
     """
     from tamtr_tpu.nn.ssm import selective_scan_xla
 
+    out_dtype = layouts.dtype
+    f32 = jnp.float32
+    layouts, dts_raw, Bs, Cs = (
+        layouts.astype(f32), dts_raw.astype(f32), Bs.astype(f32), Cs.astype(f32)
+    )
     B, _, L, D = layouts.shape
     N = A.shape[-1]
     ys = []
@@ -551,7 +570,7 @@ def ss2d_scan_xla(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk=128):
             y = y[:, ::-1]
         y = y + lay * Ds[k][None, None, :]
         ys.append(y)
-    return jnp.stack(ys, 1)
+    return jnp.stack(ys, 1).astype(out_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
@@ -640,11 +659,12 @@ def _carriers_kernel(u_ref, dtr_ref, dtw_ref, dtb_ref, A_ref, B_ref, hcar_ref, h
 
     hcar_ref[0, 0] = h_ref[...]
 
-    u = u_ref[0]
-    dt = jnp.dot(dtr_ref[0], dtw_ref[0], preferred_element_type=jnp.float32)
+    f32 = jnp.float32
+    u = u_ref[0].astype(f32)
+    dt = jnp.dot(dtr_ref[0].astype(f32), dtw_ref[0], preferred_element_type=f32)
     dt = jax.nn.softplus(dt + dtb_ref[0])
     A = A_ref[0]
-    Bc = B_ref[0]
+    Bc = B_ref[0].astype(f32)
     a = jnp.exp(dt[:, None, :] * A[None])
     b = (dt * u)[:, None, :] * Bc[:, :, None]
     h_ref[...] = _scan_seeded_final(a, b, h_ref[...], reverse=False)
@@ -665,13 +685,14 @@ def _bwd_kernel(
         abound_ref[...] = jnp.zeros_like(abound_ref)  # a_{L} := 0
         dAacc_ref[...] = jnp.zeros_like(dAacc_ref)
 
-    u = u_ref[0]  # (S, Dblk)
-    dt = jnp.dot(dtr_ref[0], dtw_ref[0], preferred_element_type=jnp.float32)
+    f32 = jnp.float32
+    u = u_ref[0].astype(f32)  # (S, Dblk)
+    dt = jnp.dot(dtr_ref[0].astype(f32), dtw_ref[0], preferred_element_type=f32)
     dt = jax.nn.softplus(dt + dtb_ref[0])
     A = A_ref[0]  # (N, Dblk)
-    Bc = B_ref[0]  # (S, N)
-    Cc = C_ref[0]
-    dy = dy_ref[0]  # (S, Dblk)
+    Bc = B_ref[0].astype(f32)  # (S, N)
+    Cc = C_ref[0].astype(f32)
+    dy = dy_ref[0].astype(f32)  # (S, Dblk)
     S = u.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1, 1), 0)
 
@@ -697,7 +718,7 @@ def _bwd_kernel(
     gB = jnp.sum(g_all * Bc[:, :, None], axis=1)  # (S, Dblk)
     ddA = g_all * h_prev * a  # (S, N, Dblk)
     ddt = gB * u + jnp.sum(ddA * A[None], axis=1)
-    du_ref[0] = gB * dt  # caller adds the D-skip term dy * Dskip
+    du_ref[0] = (gB * dt).astype(du_ref.dtype)  # caller adds the D-skip dy * Dskip
     dz_ref[0] = ddt * (1.0 - jnp.exp(-dt))
     dAacc_ref[...] += jnp.sum(ddA * dt[:, None, :], axis=0)
 
@@ -779,7 +800,10 @@ def _run_ss2d_bwd_fwddir(u, dt_raw, dt_w, dt_b, A_t, Bs, Cs, dy, chunk):
             pl.BlockSpec((1, N, Dblk), dcol, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, Lp, D), jnp.float32),
+            # du follows the input dtype (bf16 halves the dominant write);
+            # dz feeds BOTH the bf16 d_dts cotangent and the fp32 dt_w/dt_b
+            # param grads, so it stays fp32; dB/dC stay fp32 for the nD-sum
+            jax.ShapeDtypeStruct((G, Lp, D), u.dtype),
             jax.ShapeDtypeStruct((G, Lp, D), jnp.float32),
             jax.ShapeDtypeStruct((G, nD, Lp, N), jnp.float32),
             jax.ShapeDtypeStruct((G, nD, Lp, N), jnp.float32),
@@ -844,14 +868,19 @@ def _ss2d_bwd_pallas(chunk, res, dy):
         dy_nat = dy[:, k]
         lay_nat = layouts[:, j]
         dtr_nat = dts_raw[:, f, j]
-        # D-skip contributions (outside the kernel)
-        du = du + dy_nat * Ds[k][None, None]
-        d_Ds = d_Ds.at[k].add((dy_nat * lay_nat).sum((0, 1)))
-        d_layouts = d_layouts.at[:, j].add(du)
-        d_dts = d_dts.at[:, f, j].add(jnp.einsum("bld,dr->blr", dz, dt_w[k]))
-        d_dtw = d_dtw.at[k].add(jnp.einsum("bld,blr->dr", dz, dtr_nat))
+        # D-skip contributions (outside the kernel); keep cotangent dtypes
+        # matching the (possibly bf16) primals, param grads in fp32
+        du = du + dy_nat * Ds[k][None, None].astype(dy_nat.dtype)
+        d_Ds = d_Ds.at[k].add(
+            (dy_nat.astype(jnp.float32) * lay_nat.astype(jnp.float32)).sum((0, 1))
+        )
+        d_layouts = d_layouts.at[:, j].add(du.astype(d_layouts.dtype))
+        d_dts = d_dts.at[:, f, j].add(
+            jnp.einsum("bld,dr->blr", dz, dt_w[k]).astype(d_dts.dtype)
+        )
+        d_dtw = d_dtw.at[k].add(jnp.einsum("bld,blr->dr", dz, dtr_nat.astype(dz.dtype)))
         d_dtb = d_dtb.at[k].add(dz.sum((0, 1)))
         d_A = d_A.at[k].add(dAk.sum(0).T)
-        d_Bs = d_Bs.at[:, f, j].add(dBk)
-        d_Cs = d_Cs.at[:, f, j].add(dCk)
+        d_Bs = d_Bs.at[:, f, j].add(dBk.astype(d_Bs.dtype))
+        d_Cs = d_Cs.at[:, f, j].add(dCk.astype(d_Cs.dtype))
     return d_layouts, d_dts, d_dtw, d_dtb, d_A, d_Bs, d_Cs, d_Ds

@@ -253,15 +253,23 @@ class SS2D(nn.Module):
         A_logs = self.param("A_logs", alog_init, (K, d_inner, N))
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
 
-        # ---- flip-free layout + projections (fp32 scan, reference force_fp32) ----
+        # ---- flip-free layout + projections ----
         # Direction k: 0 = row fwd, 1 = col fwd, 2 = row rev, 3 = col rev
         # (reference CrossScan order). Reversed directions never materialize
         # flipped copies: the scan kernel runs them in reverse time.
+        #
+        # Scan I/O follows the compute dtype: fp32 by default (the reference's
+        # force_fp32 semantics end to end) — under model dtype bf16 the big
+        # sequence tensors (layouts/dt_raw/B/C in, y out) stay bf16, halving
+        # the scan region's HBM traffic, while the kernel still upcasts and
+        # carries its recurrent state in fp32 (same accumulation contract as
+        # a bf16 matmul on the MXU).
         f32 = jnp.float32
+        cd = xm.dtype
         x_row = xm.reshape(B, L, d_inner)
         x_col = xm.transpose(0, 2, 1, 3).reshape(B, L, d_inner)
-        layouts = jnp.stack([x_row, x_col], 1).astype(f32)  # (B, 2, L, d_inner)
-        Wp = x_proj_w.astype(f32).reshape(2, 2, R + 2 * N, d_inner)  # [f][layout]
+        layouts = jnp.stack([x_row, x_col], 1).astype(cd)  # (B, 2, L, d_inner)
+        Wp = x_proj_w.astype(cd).reshape(2, 2, R + 2 * N, d_inner)  # [f][layout]
         x_dbl = jnp.einsum("bjld,fjcd->bfjlc", layouts, Wp)  # (B,2,2,L,R+2N)
         dts_raw, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
 
@@ -281,12 +289,12 @@ class SS2D(nn.Module):
         # transpose back to row-major
         y_col = (ys[:, 1] + ys[:, 3]).reshape(B, W, H, d_inner)
         y_col = y_col.transpose(0, 2, 1, 3).reshape(B, L, d_inner)
-        y = ys[:, 0] + ys[:, 2] + y_col  # (B, L, d_inner) fp32
+        y = ys[:, 0] + ys[:, 2] + y_col  # (B, L, d_inner) compute dtype
         # named checkpoint: with the `save_scan_outputs` remat policy (see
         # decoder.ManbaWorldDecoder) the merged scan output is SAVED across
         # the mixer's remat boundary, so the backward skips re-running the
         # Pallas scan forward (~17 ms/step at 640px b4) for the cost of
-        # (B, L, d_inner) fp32 per level (~180 MB at b4)
+        # (B, L, d_inner) per level (~180 MB at b4 fp32, half that bf16)
         from jax.ad_checkpoint import checkpoint_name
 
         y = checkpoint_name(y, "scan_out")

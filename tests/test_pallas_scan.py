@@ -145,3 +145,40 @@ def test_ss2d_bwd_pallas_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(p), np.asarray(x), atol=2e-3, rtol=2e-3, err_msg=n
         )
+
+
+def test_ss2d_scan_bf16_io(rng):
+    """bf16 sequence I/O: fwd matches the fp32 oracle within bf16 tolerance,
+    cotangent dtypes match the primals, grads track the fp32 reference."""
+    import tamtr_tpu.kernels.selective_scan as ssk
+
+    args = list(_ss2d_args(rng, B=1, H=4, W=6, Din=8, N=4, R=4))
+    # sequence tensors in bf16, params fp32 (the SS2D bf16-mode contract)
+    bf = jnp.bfloat16
+    args_bf = list(args)
+    for i in (0, 1, 5, 6):  # layouts, dts_raw, Bs, Cs
+        args_bf[i] = args[i].astype(bf)
+
+    y32 = np.asarray(ssk.ss2d_scan(*args, 16), np.float32)
+    y_bf = ssk.ss2d_scan(*args_bf, 16)
+    assert y_bf.dtype == bf
+    np.testing.assert_allclose(np.asarray(y_bf, np.float32), y32, atol=0.15, rtol=0.08)
+    # XLA oracle honors the same I/O contract
+    y_bf_xla = ssk.ss2d_scan_xla(*args_bf, chunk=8)
+    assert y_bf_xla.dtype == bf
+    np.testing.assert_allclose(
+        np.asarray(y_bf_xla, np.float32), y32, atol=0.15, rtol=0.08
+    )
+
+    def loss(fn, a):
+        return (fn(*a, 16) * jnp.arange(1, 5)[None, :, None, None]).sum()
+
+    ssk.set_ss2d_bwd_impl("pallas")
+    g_bf = jax.grad(lambda *a: loss(ssk.ss2d_scan, a), argnums=tuple(range(8)))(*args_bf)
+    g32 = jax.grad(lambda *a: loss(ssk.ss2d_scan, a), argnums=tuple(range(8)))(*args)
+    for i, (p, x) in enumerate(zip(g_bf, g32)):
+        assert p.dtype == args_bf[i].dtype, f"cotangent {i} dtype {p.dtype}"
+        np.testing.assert_allclose(
+            np.asarray(p, np.float32), np.asarray(x, np.float32),
+            atol=0.3, rtol=0.15, err_msg=f"arg {i}",
+        )

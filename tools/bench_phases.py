@@ -72,8 +72,13 @@ def timed(name, fn, *args):
 
 
 def main():
-    phases = sys.argv[1:] or ["eval_fwd", "train_fwd", "grad", "full"]
-    model, cfg, state, tx, batch = build()
+    args = sys.argv[1:]
+    dtype = jnp.float32
+    if "--bf16" in args:
+        args.remove("--bf16")
+        dtype = jnp.bfloat16
+    phases = args or ["eval_fwd", "train_fwd", "grad", "full"]
+    model, cfg, state, tx, batch = build(dtype)
     targets = {"cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
     variables = {"params": state.params_tree(), "batch_stats": state.batch_stats}
     loss_cfg = DETRLossConfig(nc=NC)
