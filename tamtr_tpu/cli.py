@@ -96,10 +96,15 @@ def main(argv: List[str] | None = None) -> None:
         # (tamtr_tpu.serve; the reference's Triton-serving analogue)
         from tamtr_tpu.serve import serve_checkpoint
 
+        if "model" not in ov:
+            raise SystemExit(
+                "yolo serve requires model=<checkpoint>, e.g. "
+                "`yolo serve model=runs/detect/train/weights/best port=8000`"
+            )
         srv = serve_checkpoint(
             str(ov.pop("model")),
             endpoint=str(ov.pop("endpoint", "tamtr")),
-            host=str(ov.pop("host", "0.0.0.0")),
+            host=str(ov.pop("host", "127.0.0.1")),
             port=int(ov.pop("port", 8000)),
             nc=ov.pop("nc", None),
             imgsz=int(ov.pop("imgsz", 640)),

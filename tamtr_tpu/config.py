@@ -144,10 +144,12 @@ class Config:
     match_method: str = "auto"
     text_embeddings: Optional[str] = None  # npz with per-class CLIP embeddings
     n_devices: Optional[int] = None
-    # FSDP/ZeRO degree: shard the flat master-params/Adam/EMA vectors over a
-    # second 'model' mesh axis of this size (1 = pure DP, the reference's
-    # only mode). Per-chip optimizer-state memory drops by this factor; the
-    # train step all-gathers params once and reduce-scatters gradients.
+    # ZeRO-1: fsdp>1 shards the flat master-params/Adam/EMA vectors over the
+    # SAME 'data' axis the batch shards over (sharding degree = device
+    # count; the exact value beyond "on" is ignored). Per-chip optimizer
+    # state drops by the device count at NO data-parallel throughput cost —
+    # the step all-gathers params once and reduce-scatters the flat
+    # gradient. 1 = pure DP (replicated state, the reference's only mode).
     fsdp: int = 1
     bf16: bool = False
     val_interval: int = 1  # validate every N epochs (1 = reference behavior)
@@ -185,19 +187,51 @@ def get_cfg(
     return Config(**known)
 
 
-def load_data_yaml(path: str | Path) -> Dict[str, Any]:
-    """Dataset yaml: path/train/val/test/nc/names (reference `check_det_dataset`)."""
+def load_data_yaml(path: str | Path, check: bool = True) -> Dict[str, Any]:
+    """Dataset yaml: path/train/val/test/nc/names, with the reference's
+    schema validation (`check_det_dataset`, `data/utils.py:237-320`):
+    train/val keys required ('validation' renamed), names-or-nc required,
+    names/nc length agreement, class_<i> name synthesis, and a clear error
+    when the resolved val path is missing (no autodownload in this
+    zero-egress design — datasets come from `tools/get_visdrone.py`)."""
     with open(path) as f:
         d = yaml.safe_load(f)
+    if not isinstance(d, dict):
+        raise SyntaxError(f"{path}: dataset yaml must be a mapping")
+    if "val" not in d and "validation" in d:
+        d["val"] = d.pop("validation")  # reference rename shim
+    if check:
+        for k in ("train", "val"):
+            if k not in d:
+                raise SyntaxError(
+                    f"{path} '{k}:' key missing — 'train' and 'val' are "
+                    f"required in all data YAMLs"
+                )
+        if "names" not in d and "nc" not in d:
+            raise SyntaxError(
+                f"{path} key missing — either 'names' or 'nc' is required"
+            )
+        if "names" in d and "nc" in d and len(d["names"]) != int(d["nc"]):
+            raise SyntaxError(
+                f"{path} 'names' length {len(d['names'])} and "
+                f"'nc: {d['nc']}' must match"
+            )
     root = Path(d.get("path", Path(path).parent))
     out = dict(d)
     for split in ("train", "val", "test"):
         if d.get(split):
             p = Path(d[split])
             out[split] = str(p if p.is_absolute() else root / p)
-    names = d.get("names", {})
+    names = d.get("names")
+    if names is None:
+        names = [f"class_{i}" for i in range(int(d["nc"]))]
     if isinstance(names, dict):
         names = [names[k] for k in sorted(names, key=int)]
     out["names"] = list(names)
     out["nc"] = int(d.get("nc", len(out["names"])))
+    if check and out.get("val") and not Path(out["val"]).exists():
+        raise FileNotFoundError(
+            f"dataset '{path}' images not found: missing path '{out['val']}' "
+            f"(this build has no autodownload; see tools/get_visdrone.py)"
+        )
     return out

@@ -143,6 +143,78 @@ def mosaic4(
     return Sample(canvas, boxes, cls, segs, kpts)
 
 
+def mosaic9(
+    samples: Sequence[Sample], size: int, rng: np.random.Generator, color: int = 114
+) -> Sample:
+    """9-image (3x3) mosaic (reference `_mosaic9`, `augment.py:227-276`).
+
+    Tiles 9 images around the center on a 3s x 3s canvas using the
+    reference's chained placement (each tile aligned to the previous tile's
+    size), then crops the central 2s x 2s region — the same output contract
+    as `mosaic4`, so the downstream perspective crop is shared.
+    """
+    s = size
+    canvas = np.full((3 * s, 3 * s, 3), color, dtype=np.uint8)
+    any_segs = any(smp.segments is not None for smp in samples[:9])
+    any_kpts = any(smp.keypoints is not None for smp in samples[:9])
+    all_boxes, all_cls, all_segs, all_kpts = [], [], [], []
+    hp = wp = h0 = w0 = 0
+    off = -(-s // 2)  # central-crop offset (reference border = -s//2)
+    for i, smp in enumerate(samples[:9]):
+        img = smp.img
+        h, w = img.shape[:2]
+        if i == 0:  # center
+            h0, w0 = h, w
+            c = s, s, s + w, s + h
+        elif i == 1:  # top
+            c = s, s - h, s + w, s
+        elif i == 2:  # top right
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:  # right
+            c = s + w0, s, s + w0 + w, s + h
+        elif i == 4:  # bottom right
+            c = s + w0, s + hp, s + w0 + w, s + hp + h
+        elif i == 5:  # bottom
+            c = s + w0 - w, s + h0, s + w0, s + h0 + h
+        elif i == 6:  # bottom left
+            c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+        elif i == 7:  # left
+            c = s - w, s + h0 - h, s, s + h0
+        else:  # top left
+            c = s - w, s + h0 - hp - h, s, s + h0 - hp
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (min(max(x, 0), 3 * s) for x in c)
+        canvas[y1:y2, x1:x2] = img[y1 - padh : y2 - padh, x1 - padw : x2 - padw]
+        hp, wp = h, w
+        shift = np.array([padw - off, padh - off], dtype=np.float32)
+        if len(smp.boxes):
+            all_boxes.append(smp.boxes + np.concatenate([shift, shift]))
+            all_cls.append(smp.cls)
+            if any_segs:
+                segs = smp.segments or [
+                    np.zeros((0, 2), np.float32) for _ in range(len(smp.boxes))
+                ]
+                all_segs += [p + shift for p in segs]
+            if any_kpts and smp.keypoints is not None:
+                k = smp.keypoints.copy()
+                k[..., :2] += shift
+                all_kpts.append(k)
+    canvas = canvas[off : off + 2 * s, off : off + 2 * s]
+    if all_boxes:
+        boxes = np.concatenate(all_boxes, 0).clip(0, 2 * s)
+        cls = np.concatenate(all_cls, 0)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        boxes, cls = boxes[keep], cls[keep]
+        segs = [p for p, k in zip(all_segs, keep) if k] if any_segs else None
+        kpts = (np.concatenate(all_kpts, 0)[keep] if all_kpts else None) if any_kpts else None
+    else:
+        boxes = np.zeros((0, 4), np.float32)
+        cls = np.zeros((0,), np.int32)
+        segs = [] if any_segs else None
+        kpts = np.zeros((0, 17, 3), np.float32) if any_kpts else None
+    return Sample(canvas, boxes.astype(np.float32), cls, segs, kpts)
+
+
 def random_perspective(
     sample: Sample,
     rng: np.random.Generator,

@@ -41,6 +41,7 @@ class AugConfig:
     """Mirrors the reference hyp keys (`cfg/default.yaml:100-117`)."""
 
     mosaic: float = 0.0  # TAM-TR ships mosaic off
+    mosaic_n: int = 4  # 4 or 9 tiles (reference Mosaic n=4|9)
     mixup: float = 0.0
     copy_paste: float = 0.3  # TAM-TR recipe default (`cfg/default.yaml:114`)
     degrees: float = 0.0
@@ -242,9 +243,10 @@ class DetectionDataset:
             # one pipeline for all tasks (reference v8_transforms): segments
             # and keypoints ride through mosaic/copy-paste/perspective/flips
             if self._mosaic_on and rng.random() < self.aug.mosaic:
-                idxs = [i] + list(rng.integers(0, len(self), 3))
+                n = 9 if self.aug.mosaic_n == 9 else 4
+                idxs = [i] + list(rng.integers(0, len(self), n - 1))
                 parts = [A.stretch_resize(self._read(j), s) for j in idxs]
-                smp = A.mosaic4(parts, s, rng)
+                smp = (A.mosaic9 if n == 9 else A.mosaic4)(parts, s, rng)
                 border = (-s // 2, -s // 2)
             else:
                 smp = A.stretch_resize(self._read(i), s)

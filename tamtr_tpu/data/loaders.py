@@ -46,6 +46,10 @@ def load_inference_source(
             cap.release()
         return
 
+    if isinstance(source, str) and source.split()[0:1] == ["screen"]:
+        yield from load_screenshots(source, vid_stride=vid_stride)
+        return
+
     p = Path(source)
     if p.is_dir():
         for f in sorted(p.rglob("*")):
@@ -74,3 +78,58 @@ def load_inference_source(
     if img is None:
         raise FileNotFoundError(f"cannot read source {source}")
     yield str(p), img
+
+
+def load_screenshots(
+    source: str = "screen",
+    vid_stride: int = 1,
+    max_frames: int | None = None,
+    grab: Any = None,
+) -> Generator[Tuple[str, np.ndarray], None, None]:
+    """Screen-capture source (reference `LoadScreenshots`, `data/loaders.py:179-243`).
+
+    `source` = "screen [n] [left top width height]" — screen number and/or an
+    explicit capture box in pixels. Requires the `mss` package (gated like
+    the reference's check_requirements path); `grab` injects a capture
+    callable `(monitor_dict) -> HxWx4 BGRA array` for testing.
+    """
+    parts = str(source).split()
+    assert parts and parts[0] == "screen", f"not a screen source: {source!r}"
+    params = [int(x) for x in parts[1:]]
+    screen, box = 0, None
+    if len(params) == 1:
+        screen = params[0]
+    elif len(params) == 4:
+        box = params
+    elif len(params) == 5:
+        screen, box = params[0], params[1:]
+
+    if grab is None:
+        try:
+            import mss  # type: ignore
+        except ImportError as e:  # pragma: no cover - mss absent in CI image
+            raise ImportError(
+                "screenshot source needs the `mss` package (pip install mss)"
+            ) from e
+        sct = mss.mss()
+        mon = sct.monitors[screen]
+        grab = lambda m: np.asarray(sct.grab(m))
+    else:
+        mon = {"left": 0, "top": 0, "width": 640, "height": 640}
+    if box is not None:
+        left, top, width, height = box
+        monitor = {
+            "left": mon["left"] + left,
+            "top": mon["top"] + top,
+            "width": width,
+            "height": height,
+        }
+    else:
+        monitor = {k: mon[k] for k in ("left", "top", "width", "height")}
+
+    frame = 0
+    while max_frames is None or frame < max_frames:
+        if frame % vid_stride == 0:
+            im = np.asarray(grab(monitor))[..., :3]  # BGRA -> BGR
+            yield f"screen{screen}_{frame}", np.ascontiguousarray(im)
+        frame += 1

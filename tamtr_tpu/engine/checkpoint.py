@@ -47,7 +47,7 @@ def save_checkpoint(
                 shutil.rmtree(junk, ignore_errors=True)
     if last_err is not None:
         # loud fallback: flat npz of the state tree (AutoBackend can read it)
-        from tamtr_tpu.utils import LOGGER
+        from tamtr_tpu.utils.log import LOGGER
 
         npz = path.parent / (path.name + ".npz")
         LOGGER.warning(
@@ -67,11 +67,58 @@ def save_checkpoint(
         (path.parent / (path.name + ".meta.json")).write_text(json.dumps(metadata))
 
 
+def _key_tuple(kp) -> Tuple[str, ...]:
+    return tuple(str(getattr(k, "key", getattr(k, "name", k))) for k in kp)
+
+
+def _fit_to_target(raw, target):
+    """Adapt a raw restored pytree to `target`'s leaf shapes.
+
+    Migration path for flat-vector padding changes (PAD_MULTIPLE): 1-D
+    leaves shorter than the target are zero-padded (the pad region is
+    semantically inert — masks False, grads 0), longer ones sliced. Leaves
+    are matched by key path (attr/dict names align between TrainState and
+    orbax's raw dict form).
+    """
+    import numpy as np
+
+    raw_map = {
+        _key_tuple(kp): leaf
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(raw)[0]
+    }
+
+    def fit(kp, tgt):
+        key = _key_tuple(kp)
+        if key not in raw_map:
+            raise KeyError(f"checkpoint missing leaf {'/'.join(key)}")
+        leaf = np.asarray(raw_map[key])
+        if leaf.ndim == 1 and getattr(tgt, "ndim", None) == 1 and leaf.shape != tuple(tgt.shape):
+            n = int(tgt.shape[0])
+            if leaf.shape[0] < n:
+                leaf = np.concatenate([leaf, np.zeros((n - leaf.shape[0],), leaf.dtype)])
+            else:
+                leaf = leaf[:n]
+        if hasattr(tgt, "dtype"):
+            leaf = leaf.astype(tgt.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fit, target)
+
+
 def load_checkpoint(path: str | Path, target) -> Tuple[Any, Dict[str, Any]]:
-    """Restore into the structure of `target` (an abstract or concrete state)."""
+    """Restore into the structure of `target` (an abstract or concrete state).
+
+    Checkpoints written before a flat-vector padding change (PAD_MULTIPLE)
+    carry differently-sized (P,) vectors; those are zero-padded / sliced to
+    the target length instead of failing the restore.
+    """
     path = Path(path).resolve()
     ckptr = ocp.StandardCheckpointer()
-    state = ckptr.restore(path, target)
+    try:
+        state = ckptr.restore(path, target)
+    except Exception:
+        raw = ocp.StandardCheckpointer().restore(path)
+        state = _fit_to_target(raw, target)
     meta_path = path.parent / (path.name + ".meta.json")
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
     return state, meta

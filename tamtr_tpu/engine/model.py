@@ -138,18 +138,22 @@ class Engine:
                 probe_tc, nc, cfg.imgsz, cfg.max_gt, default=4,
             )
         n_avail = len(jax.devices())
-        fsdp = max(int(cfg.fsdp or 1), 1)
-        n_dev = cfg.n_devices or max(
-            d
-            for d in range(1, n_avail + 1)
-            if d % fsdp == 0 and cfg.batch % (d // fsdp) == 0
-        )
-        mesh = make_mesh(n_dev, model_parallel=fsdp)
-        n_data = n_dev // fsdp
-        assert n_dev % fsdp == 0 and cfg.batch % n_data == 0, (
-            f"batch {cfg.batch} must divide over {n_data} data-parallel devices"
-            f" (n_devices={n_dev}, fsdp={fsdp})"
-        )
+        zero = int(cfg.fsdp or 1) > 1  # fsdp>1: ZeRO-1 over the data axis
+        candidates = [d for d in range(1, n_avail + 1) if cfg.batch % d == 0]
+        if cfg.n_devices:
+            n_dev = cfg.n_devices
+        elif candidates:
+            n_dev = max(candidates)
+        else:
+            raise ValueError(
+                f"no device count in 1..{n_avail} divides batch {cfg.batch}; "
+                f"set batch to a multiple of the device count or pass n_devices="
+            )
+        mesh = make_mesh(n_dev)
+        if cfg.batch % n_dev:
+            raise ValueError(
+                f"batch {cfg.batch} must divide over {n_dev} data-parallel devices"
+            )
 
         aug = AugConfig(
             mosaic=cfg.mosaic, mixup=cfg.mixup, copy_paste=cfg.copy_paste,
@@ -196,10 +200,11 @@ class Engine:
         step_fn = make_train_step(
             model, tx, None, tc,
             loss_callable=self._loss_callable_for(model, cfg, nc), mesh=mesh,
+            zero=zero,
         )
 
         repl, bsh = replicated(mesh), batch_sharding(mesh)
-        ssh = train_state_shardings(mesh, state)  # FSDP-shards flat vectors
+        ssh = train_state_shardings(mesh, state, zero=zero)  # ZeRO flat vectors
         state = jax.device_put(state, ssh)
         jit_step = jax.jit(
             step_fn, in_shardings=(ssh, bsh, None), out_shardings=(ssh, repl),
@@ -411,13 +416,21 @@ class Engine:
         self.names = train_ds.names
         self.txt_feats = np.zeros((1, 512), np.float32)
 
-        fsdp = max(int(cfg.fsdp or 1), 1)
-        n_dev = cfg.n_devices or max(
-            d
-            for d in range(1, len(jax.devices()) + 1)
-            if d % fsdp == 0 and cfg.batch % (d // fsdp) == 0
-        )
-        mesh = make_mesh(n_dev, model_parallel=fsdp)
+        zero = int(cfg.fsdp or 1) > 1  # fsdp>1: ZeRO-1 over the data axis
+        candidates = [
+            d for d in range(1, len(jax.devices()) + 1) if cfg.batch % d == 0
+        ]
+        if cfg.n_devices:
+            n_dev = cfg.n_devices
+        elif candidates:
+            n_dev = max(candidates)
+        else:
+            raise ValueError(
+                f"no device count in 1..{len(jax.devices())} divides batch "
+                f"{cfg.batch}; set batch to a multiple of the device count "
+                f"or pass n_devices="
+            )
+        mesh = make_mesh(n_dev)
         loader = ClassificationLoader(
             train_ds, cfg.batch, seed=cfg.seed,
             process_index=jax.process_index(), process_count=jax.process_count(),
@@ -446,9 +459,11 @@ class Engine:
             acc = (outputs["logits"].argmax(-1) == labels).mean()
             return loss, {"cls": loss, "top1": acc}
 
-        step_fn = make_train_step(model, tx, None, tc, loss_callable=ce_loss, mesh=mesh)
+        step_fn = make_train_step(
+            model, tx, None, tc, loss_callable=ce_loss, mesh=mesh, zero=zero
+        )
         repl, bsh = replicated(mesh), batch_sharding(mesh)
-        ssh = train_state_shardings(mesh, state)
+        ssh = train_state_shardings(mesh, state, zero=zero)
         state = jax.device_put(state, ssh)
         jit_step = jax.jit(
             step_fn, in_shardings=(ssh, bsh, None), out_shardings=(ssh, repl),
@@ -1004,9 +1019,16 @@ class Engine:
             results.append(r)
         return results
 
-    def tune(self, iterations: int = 10, **overrides: Any) -> Dict[str, float]:
+    def tune(
+        self, iterations: int = 10, isolate: bool = False, **overrides: Any
+    ) -> Dict[str, float]:
         """Hyperparameter evolution (reference `Model.tune`): mutate hypers,
-        run short trainings, keep the fitness-best (engine/tuner.py)."""
+        run short trainings, keep the fitness-best (engine/tuner.py).
+
+        isolate=True runs each trial in its own python subprocess like the
+        reference's per-iteration `subprocess.run` (`engine/tuner.py:32-224`)
+        so a hard-crashed trial (OOM kill, runtime wedge) cannot take down
+        the evolution loop; crashed trials score fitness 0."""
         from tamtr_tpu.engine.tuner import Tuner
 
         base_cfg = get_cfg(overrides=overrides)
@@ -1014,8 +1036,42 @@ class Engine:
 
         def train_fn(hyp: Dict[str, float]) -> Dict[str, float]:
             ov = {**overrides, **hyp, "save": False, "plots": False}
-            eng = Engine(self.model_cfg)
-            return eng.train(**ov)
+            if not isolate:
+                eng = Engine(self.model_cfg)
+                return eng.train(**ov)
+            import json
+            import subprocess
+            import sys
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+                out_path = tf.name
+            payload = json.dumps(
+                {"model_cfg": str(self.model_cfg), "overrides": ov, "out": out_path},
+                default=str,
+            )
+            code = (
+                "import json,sys\n"
+                "cfg = json.loads(sys.argv[1])\n"
+                "from tamtr_tpu.engine.model import Engine\n"
+                "m = Engine(cfg['model_cfg']).train(**cfg['overrides'])\n"
+                "json.dump({k: float(v) for k, v in m.items()"
+                " if isinstance(v, (int, float))}, open(cfg['out'], 'w'))\n"
+            )
+            r = subprocess.run(
+                [sys.executable, "-c", code, payload], capture_output=True, text=True
+            )
+            try:
+                with open(out_path) as f:
+                    return json.load(f)
+            except Exception:
+                from tamtr_tpu.utils.log import LOGGER
+
+                LOGGER.warning(
+                    f"isolated tune trial crashed (rc={r.returncode}); fitness=0\n"
+                    f"{r.stderr[-500:]}"
+                )
+                return {"fitness": 0.0}
 
         base_hyp = {
             k: getattr(base_cfg, k)

@@ -2,8 +2,12 @@
 
 Same strategy as the reference Tuner: per iteration, mutate the best-so-far
 hyperparameters with per-key gains/bounds, run a short training, keep the
-fitness-ranked history in tune_results.csv. Runs in-process (the reference
-spawns subprocesses; a jit'd train loop makes that unnecessary).
+fitness-ranked history in tune_results.csv. A raising trial records
+fitness 0 and evolution continues (the reference's motivation for its
+subprocess-per-iteration design, `engine/tuner.py:32-224`); for isolation
+from HARD crashes (OOM-killed process, runtime wedge) pass
+`Engine.tune(isolate=True)`, which runs each trial in its own python
+subprocess like the reference.
 """
 
 from __future__ import annotations
@@ -62,7 +66,13 @@ class Tuner:
         best_hyp, best_fit = base, -1.0
         for it in range(iterations):
             hyp = self._mutate(best_hyp) if it > 0 else base
-            metrics = train_fn(hyp)
+            try:
+                metrics = train_fn(hyp)
+            except Exception as e:  # a failed trial must not kill evolution
+                from tamtr_tpu.utils.log import LOGGER
+
+                LOGGER.warning(f"tune iteration {it} crashed ({e}); fitness=0")
+                metrics = {"fitness": 0.0}
             fit = float(metrics.get("fitness", 0.0))
             row = {"iteration": it, "fitness": fit, **hyp}
             new = not self.csv.exists()

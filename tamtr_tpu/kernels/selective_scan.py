@@ -193,14 +193,25 @@ def _bwd(chunk, res, dy):
     them with the memory-bounded XLA path (`selective_scan_xla`), whose
     chunk remat keeps peak memory at O(G*S*D*N). A fused Pallas backward
     kernel (reverse-time scan for dL/dh) is the planned follow-up.
+
+    Residuals and the incoming cotangent are upcast to fp32 before the vjp
+    (the forward upcasts too, so differentiating bf16 inputs would otherwise
+    hand a bf16 dy to an fp32-output vjp — a cotangent dtype error); the
+    returned cotangents are cast back to each residual's original dtype.
     """
     from tamtr_tpu.nn.ssm import selective_scan_xla
 
     u, delta, A, Bs, Cs, D = res
+    f32 = jnp.float32
+    res32 = tuple(r if r is None else r.astype(f32) for r in (u, delta, A, Bs, Cs, D))
     _, vjp = jax.vjp(
-        lambda *args: selective_scan_xla(*args, chunk=chunk), u, delta, A, Bs, Cs, D
+        lambda *args: selective_scan_xla(*args, chunk=chunk), *res32
     )
-    return vjp(dy)
+    grads = vjp(dy.astype(f32))
+    return tuple(
+        g if g is None or r is None else g.astype(r.dtype)
+        for g, r in zip(grads, (u, delta, A, Bs, Cs, D))
+    )
 
 
 selective_scan_pallas.defvjp(_fwd, _bwd)

@@ -333,7 +333,7 @@ class TinyViTAttention(nn.Module):
         d = int(self.attn_ratio * self.key_dim)
         n_off, idxs = _attention_bias_idxs(self.resolution)
         biases = self.param("attention_biases", nn.initializers.zeros, (self.num_heads, n_off))
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         qkv = nn.Dense(self.num_heads * (2 * self.key_dim + d), name="qkv")(x)
         qkv = qkv.reshape(B, N, self.num_heads, 2 * self.key_dim + d)
         q, k, v = jnp.split(qkv, [self.key_dim, 2 * self.key_dim], axis=-1)
@@ -372,7 +372,7 @@ class TinyViTBlock(nn.Module):
         pad = self.local_conv_size // 2
         x = ConvBN2d(C, k=self.local_conv_size, s=1, p=pad, groups=C, name="local_conv")(x, train)
         y = x.reshape(B, H * W, C)
-        m = nn.LayerNorm(name="mlp_norm")(y)
+        m = nn.LayerNorm(epsilon=1e-5, name="mlp_norm")(y)
         m = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1")(m)
         m = nn.gelu(m, approximate=False)
         m = nn.Dense(C, name="mlp_fc2")(m)
@@ -623,7 +623,7 @@ class TwoWayAttentionBlock(nn.Module):
             queries = queries + SAMAttention(self.embedding_dim, self.num_heads, name="self_attn")(
                 q, q, queries
             )
-        queries = nn.LayerNorm(name="norm1")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries)
 
         q = queries + query_pe
         k = keys + key_pe
@@ -631,10 +631,10 @@ class TwoWayAttentionBlock(nn.Module):
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             name="cross_attn_token_to_image",
         )(q, k, keys)
-        queries = nn.LayerNorm(name="norm2")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(queries)
 
         queries = queries + MLPBlock(self.mlp_dim, self.embedding_dim, act="relu", name="mlp")(queries)
-        queries = nn.LayerNorm(name="norm3")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm3")(queries)
 
         q = queries + query_pe
         k = keys + key_pe
@@ -642,7 +642,7 @@ class TwoWayAttentionBlock(nn.Module):
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             name="cross_attn_image_to_token",
         )(k, q, queries)
-        keys = nn.LayerNorm(name="norm4")(keys)
+        keys = nn.LayerNorm(epsilon=1e-5, name="norm4")(keys)
         return queries, keys
 
 
@@ -680,7 +680,7 @@ class TwoWayTransformer(nn.Module):
             self.embedding_dim, self.num_heads, self.attention_downsample_rate,
             name="final_attn_token_to_image",
         )(q, k, keys)
-        return nn.LayerNorm(name="norm_final_attn")(queries), keys
+        return nn.LayerNorm(epsilon=1e-5, name="norm_final_attn")(queries), keys
 
 
 class MaskDecoder(nn.Module):

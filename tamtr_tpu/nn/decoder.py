@@ -238,14 +238,14 @@ class DeformableDecoderLayer(nn.Module):
         query_pos = query_pos.astype(embed.dtype)
         q = k = embed + query_pos
         tgt = MultiHeadSelfAttention(self.n_heads, name="self_attn")(q, k, embed, attn_mask)
-        embed = nn.LayerNorm(name="norm1", dtype=embed.dtype)(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=embed.dtype)(embed + tgt)
         tgt = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn"
         )(embed + query_pos, refer_bbox, feats, shapes)
-        embed = nn.LayerNorm(name="norm2", dtype=embed.dtype)(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=embed.dtype)(embed + tgt)
         ff = nn.Dense(self.d_ffn, name="linear1", dtype=embed.dtype)(embed)
         ff = nn.Dense(self.d_model, name="linear2", dtype=embed.dtype)(nn.relu(ff))
-        return nn.LayerNorm(name="norm3", dtype=embed.dtype)(embed + ff)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3", dtype=embed.dtype)(embed + ff)
 
 
 class DecouplingDecoderLayer(nn.Module):
@@ -274,7 +274,7 @@ class DecouplingDecoderLayer(nn.Module):
         query_pos = query_pos.astype(embed.dtype)
         q = k = embed + query_pos
         tgt = MultiHeadSelfAttention(self.n_heads, name="self_attn1")(q, k, embed, attn_mask)
-        embed = nn.LayerNorm(name="norm1")(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, name="norm1")(embed + tgt)
 
         if self.mode == "dfl":
             if self.num_dn:
@@ -286,23 +286,23 @@ class DecouplingDecoderLayer(nn.Module):
             tgt2 = MultiHeadSelfAttention(self.n_heads, name="self_attn2")(
                 q, k, embed_box, attn_mask
             )
-            embed_box = nn.LayerNorm(name="norm2")(embed_box + tgt2)
+            embed_box = nn.LayerNorm(epsilon=1e-5, name="norm2")(embed_box + tgt2)
 
         tgt = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn_cls"
         )(embed + query_pos, refer_bbox, feats, shapes)
-        embed = nn.LayerNorm(name="norm3")(embed + tgt)
+        embed = nn.LayerNorm(epsilon=1e-5, name="norm3")(embed + tgt)
         tgt = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn_box"
         )(embed_box + query_pos, refer_bbox, feats, shapes)
-        embed_box = nn.LayerNorm(name="norm4")(embed_box + tgt)
+        embed_box = nn.LayerNorm(epsilon=1e-5, name="norm4")(embed_box + tgt)
 
         ff = nn.Dense(self.d_ffn, name="linear1")(embed)
         ff = nn.Dense(self.d_model, name="linear2")(nn.relu(ff))
-        embed = nn.LayerNorm(name="norm5")(embed + ff)
+        embed = nn.LayerNorm(epsilon=1e-5, name="norm5")(embed + ff)
         ff = nn.Dense(self.d_ffn, name="linear3")(embed_box)
         ff = nn.Dense(self.d_model, name="linear4")(nn.relu(ff))
-        embed_box = nn.LayerNorm(name="norm6")(embed_box + ff)
+        embed_box = nn.LayerNorm(epsilon=1e-5, name="norm6")(embed_box + ff)
         return embed, embed_box
 
 
@@ -562,7 +562,7 @@ class ManbaWorldDecoder(nn.Module):
                             kernel_init=nn.initializers.xavier_uniform())(
             valid_mask.astype(flat.dtype) * flat
         )
-        features = nn.LayerNorm(name="enc_output_norm", dtype=features.dtype)(features)
+        features = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm", dtype=features.dtype)(features)
 
         bias_cls = float(-math.log((1 - 0.01) / 0.01) / 80 * self.nc)
         enc_scores_all = nn.Dense(
@@ -749,7 +749,7 @@ class LocationManbaDecoder(nn.Module):
         valid_mask = jnp.asarray(valid_np.astype(np.float32))[None]
         features = nn.Dense(self.hd, name="enc_output_dense",
                             kernel_init=nn.initializers.xavier_uniform())(valid_mask * flat)
-        features = nn.LayerNorm(name="enc_output_norm")(features)
+        features = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(features)
 
         k_eff = min(self.nq, pred_scores.shape[1])
         _, topk_ind = jax.lax.top_k(pred_scores.max(-1), k_eff)

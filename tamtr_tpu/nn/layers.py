@@ -352,10 +352,10 @@ class AIFI(nn.Module):
         )
         sa = jnp.einsum("bhqk,bkhd->bqhd", att, vp).reshape(B, -1, C)
         sa = nn.Dense(C, name="out_proj")(sa)
-        tokens = nn.LayerNorm(name="norm1")(tokens + sa)
+        tokens = nn.LayerNorm(epsilon=1e-5, name="norm1")(tokens + sa)
         ff = nn.Dense(self.cm, name="fc1")(tokens)
         ff = nn.Dense(C, name="fc2")(nn.gelu(ff))
-        tokens = nn.LayerNorm(name="norm2")(tokens + ff)
+        tokens = nn.LayerNorm(epsilon=1e-5, name="norm2")(tokens + ff)
         return tokens.reshape(B, H, W, C)
 
 

@@ -299,7 +299,11 @@ class SS2D(nn.Module):
 
         y = checkpoint_name(y, "scan_out")
 
-        y = nn.LayerNorm(name="out_norm", dtype=jnp.float32)(y)
+        # epsilon=1e-5 on every torch-parity LayerNorm: torch nn.LayerNorm
+        # defaults to 1e-5, flax to 1e-6 — the mismatch costs ~2e-3 per
+        # block and compounds through the head (found by ported-weight
+        # full-model parity, tests/test_port.py)
+        y = nn.LayerNorm(epsilon=1e-5, name="out_norm", dtype=jnp.float32)(y)
         y = y.astype(x.dtype).reshape(B, H, W, d_inner)
         y = y * z
         return nn.Dense(self.d_model, use_bias=False, name="out_proj", dtype=y.dtype)(y)
@@ -333,7 +337,7 @@ class VSSBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        y = nn.LayerNorm(name="norm", dtype=x.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=x.dtype)(x)
         y = SS2D(
             self.hidden_dim,
             d_state=self.ssm_d_state,
@@ -342,6 +346,6 @@ class VSSBlock(nn.Module):
             name="op",
         )(y, train)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=not train)
-        y = nn.LayerNorm(name="norm2", dtype=x.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=x.dtype)(x)
         y = Mlp(int(self.hidden_dim * self.mlp_ratio), self.hidden_dim, name="mlp")(y)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=not train)

@@ -6,11 +6,14 @@ a `jax.sharding.Mesh` over ICI with the batch axis sharded and parameters
 replicated — XLA inserts the gradient all-reduce. Multi-host extends the same
 mesh over DCN via `jax.distributed.initialize()` (see `init_distributed`).
 
-Beyond the reference's DP, the trainer supports a second `model` mesh axis
-that shards the FLAT parameter/optimizer vectors (ZeRO/FSDP-style): master
-params, Adam moments, the accumulation buffer, and the EMA all live sharded;
-the train step all-gathers params once for compute and reduce-scatters the
-flat gradient (see `train.trainer.make_train_step(mesh=...)`).
+Beyond the reference's DP, the trainer supports ZeRO-1 sharding of the FLAT
+parameter/optimizer vectors over the SAME 'data' axis (config `fsdp>1`):
+master params, Adam moments, the accumulation buffer, and the EMA live
+sharded n-ways; the train step all-gathers params once for compute and
+reduce-scatters the flat gradient. Because the shard axis IS the data axis,
+ZeRO costs no data-parallel throughput — every device still computes a
+distinct batch shard (a 2-D data x model mesh would replicate the forward/
+backward compute k-fold for the same memory win).
 """
 
 from __future__ import annotations
@@ -22,53 +25,46 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
-MODEL_AXIS = "model"
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,
-    model_parallel: int = 1,
 ) -> Mesh:
-    """Device mesh over the first `n_devices` devices.
+    """1-D data-parallel mesh `('data',)` over the first `n_devices` devices.
 
-    model_parallel=1 (default): 1-D data-parallel mesh `('data',)`.
-    model_parallel=k>1: 2-D `('data', 'model')` mesh of shape (n/k, k); the
-    'model' axis shards the flat parameter/optimizer state (FSDP/ZeRO).
-    Lay the 'model' axis innermost so its collectives ride adjacent-chip ICI.
+    Both DP and ZeRO-1 run on this mesh: the batch shards over 'data', and
+    (with ZeRO on) the flat optimizer state shards over the same axis.
     """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    devices = list(devices)
-    if model_parallel and model_parallel > 1:
-        if len(devices) % model_parallel:
-            raise ValueError(
-                f"model_parallel={model_parallel} must divide device count {len(devices)}"
-            )
-        arr = np.array(devices).reshape(len(devices) // model_parallel, model_parallel)
-        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
-    return Mesh(np.array(devices), (DATA_AXIS,))
+    return Mesh(np.array(list(devices)), (DATA_AXIS,))
 
 
-def fsdp_size(mesh: Mesh) -> int:
-    """Size of the parameter-sharding axis (1 when the mesh is DP-only)."""
-    return int(dict(mesh.shape).get(MODEL_AXIS, 1))
+def data_size(mesh: Mesh) -> int:
+    """Number of data-parallel devices in the mesh."""
+    return int(dict(mesh.shape).get(DATA_AXIS, 1))
 
 
 def flat_param_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for (P,) flat parameter/optimizer vectors over MODEL_AXIS."""
-    return NamedSharding(mesh, P(MODEL_AXIS))
+    """ZeRO sharding for (P,) flat parameter/optimizer vectors: over the
+    data axis (PAD_MULTIPLE-padded vectors divide evenly for any power-of-2
+    device count; XLA pads internally otherwise)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def train_state_shardings(mesh: Mesh, state: Any) -> Any:
-    """Per-leaf shardings for a TrainState: flat (P,)-sized vectors (params,
-    EMA, Adam moments, accumulation buffer, group masks) shard over
-    MODEL_AXIS; everything else (scalars, batch stats) replicates. With a
-    DP-only mesh everything replicates."""
+def train_state_shardings(mesh: Mesh, state: Any, zero: bool = False) -> Any:
+    """Per-leaf shardings for a TrainState.
+
+    zero=False (plain DP): everything replicates.
+    zero=True: flat (P,)-sized vectors (params, EMA, Adam moments,
+    accumulation buffer, group masks) shard over the data axis (ZeRO-1);
+    scalars and batch stats replicate.
+    """
     repl = NamedSharding(mesh, P())
-    if fsdp_size(mesh) == 1:
+    if not zero or data_size(mesh) == 1:
         return jax.tree.map(lambda _: repl, state)
     shard = flat_param_sharding(mesh)
     n = state.params.shape[0]

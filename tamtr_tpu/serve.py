@@ -70,9 +70,14 @@ class ModelServer:
         meta: Optional[dict] = None,
         input_names: Sequence[str] = ("img", "txt_feats"),
         input_dtypes: Sequence[str] = ("float32", "float32"),
+        max_request_bytes: int = 256 * 1024 * 1024,
     ) -> None:
         self.model = model
         self.endpoint = endpoint
+        # bound upload size (batched 640px float image payloads are ~5 MB;
+        # the default cap leaves generous headroom while preventing
+        # arbitrary-size request bodies from exhausting memory)
+        self.max_request_bytes = int(max_request_bytes)
         self.meta = {
             "name": endpoint,
             "inputs": [
@@ -108,6 +113,16 @@ class ModelServer:
                     self._reply(404, b"{}", "application/json")
                     return
                 n = int(self.headers.get("Content-Length", 0))
+                if n > server.max_request_bytes:
+                    self._reply(
+                        413,
+                        json.dumps(
+                            {"error": f"request {n} B exceeds cap "
+                                      f"{server.max_request_bytes} B"}
+                        ).encode(),
+                        "application/json",
+                    )
+                    return
                 try:
                     arrays = _unpack_npz(self.rfile.read(n))
                     inputs = [arrays[k] for k in server._names]
@@ -194,13 +209,16 @@ class RemoteModel:
 def serve_checkpoint(
     weights: str,
     endpoint: str = "tamtr",
-    host: str = "0.0.0.0",
+    host: str = "127.0.0.1",
     port: int = 8000,
     nc: Optional[int] = None,
     imgsz: int = 640,
 ) -> ModelServer:
-    """Load weights via AutoBackend and serve them (blocking helper for the
-    CLI `yolo serve` analogue). Returns the (started) server."""
+    """Load weights via AutoBackend and serve them (helper for the CLI
+    `yolo serve` analogue). Returns the constructed (NOT yet serving)
+    server — call `.start()` for a background thread or `.serve_forever()`
+    to block. The server is unauthenticated; it binds loopback by default —
+    pass host="0.0.0.0" explicitly to expose it on all interfaces."""
     from tamtr_tpu.nn.autobackend import AutoBackend
 
     backend = AutoBackend(weights, nc=nc, imgsz=imgsz)

@@ -96,10 +96,10 @@ class TrainState(struct.PyTreeNode):
         return self.unravel(self.ema_params) if self.unravel else self.ema_params
 
 
-# flat vectors are zero-padded to a multiple of this so the FSDP 'model'
-# mesh axis (any power-of-2 size up to 2048) shards them evenly; `unravel`
-# ignores the tail, and the optimizer math is exact on zeros (masks are
-# False / grads are 0 in the pad region), so padding is semantically inert
+# flat vectors are zero-padded to a multiple of this so the ZeRO data-axis
+# sharding (any power-of-2 device count up to 2048) splits them evenly;
+# `unravel` ignores the tail, and the optimizer math is exact on zeros
+# (masks are False / grads are 0 in the pad region) — semantically inert
 PAD_MULTIPLE = 2048
 
 
@@ -433,6 +433,7 @@ def make_train_step(
     cfg: TrainConfig,
     loss_callable: Optional[Callable] = None,
     mesh: Any = None,
+    zero: bool = False,
 ) -> Callable:
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
 
@@ -441,12 +442,14 @@ def make_train_step(
     `loss_callable(outputs, targets) -> (loss, items)` defaults to the
     RT-DETR detection loss; the YOLO task passes `v8_detection_loss`.
 
-    `mesh`: pass a 2-D ('data', 'model') mesh (see `parallel.mesh.make_mesh`
-    with model_parallel>1) to run FSDP/ZeRO-sharded: the flat master params,
-    Adam moments, accumulation buffer, and EMA live sharded over the 'model'
-    axis (place the state with `parallel.mesh.train_state_shardings`); the
-    step all-gathers params once for compute and reduce-scatters the flat
-    gradient, so per-chip optimizer-state memory drops by the axis size.
+    `mesh` + `zero=True`: ZeRO-1 over the data axis — the flat master
+    params, Adam moments, accumulation buffer, and EMA live sharded n-ways
+    over the SAME axis the batch shards over (place the state with
+    `parallel.mesh.train_state_shardings(mesh, state, zero=True)`); the step
+    all-gathers params once for compute and reduce-scatters the flat
+    gradient. Per-chip optimizer-state memory drops by the device count at
+    zero data-parallel throughput cost (every device still computes a
+    distinct batch shard).
     """
     if loss_callable is None:
         loss_callable = lambda outputs, targets: rtdetr_detection_loss(
@@ -454,14 +457,14 @@ def make_train_step(
         )
 
     fsdp_repl = fsdp_shard = None
-    if mesh is not None:
-        from tamtr_tpu.parallel.mesh import MODEL_AXIS, fsdp_size
+    if mesh is not None and zero:
+        from tamtr_tpu.parallel.mesh import DATA_AXIS, data_size
 
-        if fsdp_size(mesh) > 1:
+        if data_size(mesh) > 1:
             from jax.sharding import NamedSharding, PartitionSpec
 
             fsdp_repl = NamedSharding(mesh, PartitionSpec())
-            fsdp_shard = NamedSharding(mesh, PartitionSpec(MODEL_AXIS))
+            fsdp_shard = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         targets = {"cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
@@ -491,7 +494,7 @@ def make_train_step(
         # params. Tree-grad + one explicit concat is two bandwidth passes.
         p_flat = state.params
         if fsdp_repl is not None and unravel:
-            # FSDP: params live sharded over the 'model' axis; gather the
+            # ZeRO: params live sharded over the 'data' axis; gather the
             # full vector ONCE for compute (XLA emits a single all-gather)
             p_flat = jax.lax.with_sharding_constraint(p_flat, fsdp_repl)
         params_tree = unravel(p_flat) if unravel else state.params

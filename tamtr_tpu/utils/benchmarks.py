@@ -1,8 +1,12 @@
 """Benchmark harness (reference `utils/benchmarks.py`): export-format sweep +
 inference timing for a trained model.
 
-`benchmark(engine)` exports to each available format, runs a timed inference
-through AutoBackend, and returns a table of {format, ok, img_per_sec}.
+`benchmark(engine)` exports to each available format, loads each exported
+artifact back through AutoBackend, and asserts PREDICTION PARITY with the
+native jax path on a fixed batch (the reference's benchmark() vals every
+exported format and asserts an mAP floor, `utils/benchmarks.py:45-152` —
+here prediction parity is the stronger, dataset-free equivalent). Returns a
+table of {format, ok, parity_ok, parity_maxdiff, img_per_sec}.
 """
 
 from __future__ import annotations
@@ -32,25 +36,51 @@ def benchmark(
     n_text = max(len(engine.names), 1)
     rows: List[Dict[str, Any]] = []
 
-    # native jax timing first (the deployment path)
+    # native jax timing first (the deployment path); its predictions are the
+    # parity oracle for every exported format below
     fwd = jax.jit(lambda img, txt: engine.model.apply(variables, img, txt, None, False)["pred"])
     img = np.random.default_rng(0).random((batch, imgsz, imgsz, 3), dtype=np.float32)
     txt = np.zeros((batch, n_text, 512), np.float32)
-    jax.device_get(fwd(img, txt))
+    native = np.asarray(jax.device_get(fwd(img, txt)))
     t0 = time.perf_counter()
     for _ in range(n_iter):
         jax.device_get(fwd(img, txt))
     dt = (time.perf_counter() - t0) / n_iter
-    rows.append({"format": "jax", "ok": True, "img_per_sec": round(batch / dt, 2)})
+    rows.append({"format": "jax", "ok": True, "parity_ok": True,
+                 "img_per_sec": round(batch / dt, 2)})
 
+    from tamtr_tpu.nn.autobackend import AutoBackend
+
+    nc = len(engine.names) or engine.model.nc
     for fmt in formats:
+        row: Dict[str, Any] = {"format": fmt}
         try:
             path = export_model(
                 engine.model, variables, imgsz, n_text, Path(out_dir) / fmt, fmt, batch
             )
-            rows.append({"format": fmt, "ok": True, "path": str(path)})
+            row.update(ok=True, path=str(path))
         except Exception as e:  # gated formats (e.g. TF missing)
             rows.append({"format": fmt, "ok": False, "error": str(e)[:120]})
+            continue
+        # export success alone is NOT a pass: load the artifact back and
+        # compare predictions with the native path (boxes+scores both live
+        # in [0, 1]; tflite may run reduced precision — tolerance covers it)
+        try:
+            backend = AutoBackend(path, model_cfg=engine.model_cfg, nc=nc, imgsz=imgsz)
+            pred = np.asarray(backend(img, txt))
+            maxdiff = float(np.abs(pred - native).max())
+            row["parity_maxdiff"] = round(maxdiff, 6)
+            row["parity_ok"] = bool(pred.shape == native.shape and maxdiff < 5e-3)
+            t0 = time.perf_counter()
+            for _ in range(max(n_iter // 2, 1)):
+                backend(img, txt)
+            row["img_per_sec"] = round(
+                batch * max(n_iter // 2, 1) / (time.perf_counter() - t0), 2
+            )
+        except Exception as e:
+            row["parity_ok"] = False
+            row["parity_error"] = str(e)[:120]
+        rows.append(row)
     return rows
 
 

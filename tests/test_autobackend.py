@@ -76,3 +76,25 @@ def test_autobackend_all_formats(trained):
     ab_pb = AutoBackend(pb, imgsz=64)
     out_pb = ab_pb(img, txt)
     np.testing.assert_allclose(ref, out_pb, atol=2e-4)
+
+
+def test_benchmark_validates_export_accuracy(trained):
+    """benchmark() rows must carry real prediction-parity evidence, not just
+    export success (the reference vals every exported format and asserts an
+    mAP floor, `utils/benchmarks.py:45-152`)."""
+    m, root = trained
+    eng = m._lazy_engine()
+    from tamtr_tpu.utils.benchmarks import benchmark
+
+    rows = benchmark(
+        eng, imgsz=64, batch=1, formats=["orbax", "npz", "stablehlo"],
+        out_dir=str(root / "bench"), n_iter=2,
+    )
+    by_fmt = {r["format"]: r for r in rows}
+    assert by_fmt["jax"]["parity_ok"]
+    for fmt in ("orbax", "npz", "stablehlo"):
+        row = by_fmt[fmt]
+        assert row["ok"], row
+        assert row.get("parity_ok"), row
+        assert row["parity_maxdiff"] < 5e-3, row
+        assert row.get("img_per_sec", 0) > 0, row

@@ -7,6 +7,7 @@ from tamtr_tpu.data.augment import (
     Sample,
     letterbox,
     mosaic4,
+    mosaic9,
     random_flip,
     random_hsv,
     random_perspective,
@@ -70,6 +71,58 @@ def test_augmented_pipeline(synth_dataset):
         assert len(s.boxes) == len(s.cls)
         if len(s.boxes):
             assert (s.boxes[:, 2] >= s.boxes[:, 0]).all()
+
+
+def test_mosaic9(synth_dataset):
+    """3x3 mosaic keeps the mosaic4 output contract: 2s x 2s canvas, boxes
+    clipped in-canvas (reference `_mosaic9`, `augment.py:227-276`)."""
+    s = 80
+    ds = DetectionDataset(synth_dataset / "images", imgsz=s)
+    rng = np.random.default_rng(3)
+    parts = [stretch_resize(ds._read(j), s) for j in range(9)]
+    out = mosaic9(parts, s, rng)
+    assert out.img.shape == (2 * s, 2 * s, 3)
+    assert len(out.boxes) == len(out.cls)
+    # center tile survives the central crop verbatim: its pixels sit at
+    # [s-off, 2s-off) in the cropped canvas
+    off = s // 2
+    np.testing.assert_array_equal(
+        out.img[s - off : 2 * s - off, s - off : 2 * s - off], parts[0].img
+    )
+    if len(out.boxes):
+        assert (out.boxes >= 0).all() and (out.boxes <= 2 * s).all()
+        assert (out.boxes[:, 2] > out.boxes[:, 0]).all()
+    # the dataset pipeline accepts mosaic_n=9 end to end
+    ds9 = DetectionDataset(
+        synth_dataset / "images", imgsz=s, augment=True,
+        aug=AugConfig(mosaic=1.0, mosaic_n=9),
+    )
+    smp = ds9.get(0, np.random.default_rng(0))
+    assert smp.img.shape == (s, s, 3)
+
+
+def test_screenshots_loader_injected():
+    """Screen source parsing + frame generation with an injected grabber
+    (reference `LoadScreenshots`, `data/loaders.py:179-243`; mss is gated)."""
+    from tamtr_tpu.data.loaders import load_inference_source, load_screenshots
+
+    seen = []
+
+    def fake_grab(monitor):
+        seen.append(dict(monitor))
+        h, w = monitor["height"], monitor["width"]
+        return np.full((h, w, 4), 7, np.uint8)  # BGRA like mss
+
+    frames = list(load_screenshots("screen 1 10 20 64 48", max_frames=3, grab=fake_grab))
+    assert [n for n, _ in frames] == ["screen1_0", "screen1_1", "screen1_2"]
+    assert frames[0][1].shape == (48, 64, 3)  # BGRA -> BGR
+    assert seen[0] == {"left": 10, "top": 20, "width": 64, "height": 48}
+    # routing through the generic source loader
+    gen = load_inference_source("screen")
+    try:
+        next(gen)
+    except ImportError as e:
+        assert "mss" in str(e)  # gated dependency, absent in this image
 
 
 def test_loader_batches(synth_dataset):

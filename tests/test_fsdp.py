@@ -1,10 +1,13 @@
-"""FSDP/ZeRO sharding of the flat train state over a 2-D ('data','model') mesh.
+"""ZeRO-1 sharding of the flat train state over the 1-D ('data',) mesh.
 
-The reference is DP-only (SURVEY §2.5); the 'model' axis is a TPU-native
-extension: flat master params / Adam moments / accumulation buffer / EMA are
-sharded, the step all-gathers params once and reduce-scatters the gradient.
-These tests verify (a) exact agreement with the pure-DP step, (b) the state
-actually lands sharded, and (c) the flat-vector padding invariants.
+The reference is DP-only (SURVEY §2.5); ZeRO is a TPU-native extension: flat
+master params / Adam moments / accumulation buffer / EMA shard over the SAME
+axis the batch shards over, the step all-gathers params once and
+reduce-scatters the gradient — optimizer-state memory drops by the device
+count at no data-parallel throughput cost. These tests verify (a) exact
+agreement with the pure-DP step on a toy model, (b) agreement on the REAL
+TAM-TR model graph (nano config), (c) the state actually lands sharded, and
+(d) the flat-vector padding invariants.
 """
 
 import flax.linen as nn
@@ -15,9 +18,8 @@ import pytest
 
 from tamtr_tpu.parallel.mesh import (
     DATA_AXIS,
-    MODEL_AXIS,
     batch_sharding,
-    fsdp_size,
+    data_size,
     make_mesh,
     replicated,
     train_state_shardings,
@@ -39,7 +41,7 @@ class TinyDet(nn.Module):
     def __call__(self, img, txt, targets=None, train=False):
         # no conv bias before BN: that direction has ~0 true gradient and
         # Adam's rsqrt(v) turns float noise there into an O(1) random walk,
-        # which would make DP-vs-FSDP comparison flaky (real ConvBN blocks
+        # which would make DP-vs-ZeRO comparison flaky (real ConvBN blocks
         # are bias-free for the same reason)
         x = nn.Conv(8, (3, 3), use_bias=False)(img)
         x = nn.BatchNorm(use_running_average=not train)(x)
@@ -52,15 +54,17 @@ def _mse_loss(outputs, targets):
     return loss, {"bbox": loss}
 
 
-def _run_steps(mesh, n_steps=3, batch=8):
+def _run_steps(mesh, zero, n_steps=3, batch=8):
     model = TinyDet()
     cfg = TrainConfig(batch_size=batch, warmup_iters=2, epochs=2, accumulate=1)
     state, tx = create_train_state(
         model, jax.random.PRNGKey(0), cfg, (batch, 8, 8, 3), nc=4,
         steps_per_epoch=2, max_gt=2,
     )
-    step_fn = make_train_step(model, tx, None, cfg, loss_callable=_mse_loss, mesh=mesh)
-    ssh = train_state_shardings(mesh, state)
+    step_fn = make_train_step(
+        model, tx, None, cfg, loss_callable=_mse_loss, mesh=mesh, zero=zero
+    )
+    ssh = train_state_shardings(mesh, state, zero=zero)
     bsh = batch_sharding(mesh)
     state = jax.device_put(state, ssh)
     jit_step = jax.jit(
@@ -83,40 +87,97 @@ def _run_steps(mesh, n_steps=3, batch=8):
     return state, losses
 
 
-def test_fsdp_matches_dp():
+def test_zero_matches_dp():
     if jax.device_count() < 8:
         pytest.skip("needs 8 virtual devices")
-    dp_state, dp_losses = _run_steps(make_mesh(8))
-    fs_state, fs_losses = _run_steps(make_mesh(8, model_parallel=4))
-    np.testing.assert_allclose(dp_losses, fs_losses, rtol=1e-5)
+    dp_state, dp_losses = _run_steps(make_mesh(8), zero=False)
+    z_state, z_losses = _run_steps(make_mesh(8), zero=True)
+    np.testing.assert_allclose(dp_losses, z_losses, rtol=1e-5)
     # reduce-scatter vs all-reduce changes the reduction order; Adam's
     # rsqrt amplifies the few-ulp differences — tolerance reflects that
     np.testing.assert_allclose(
-        np.asarray(dp_state.params), np.asarray(fs_state.params), rtol=1e-4, atol=1e-6
+        np.asarray(dp_state.params), np.asarray(z_state.params), rtol=1e-4, atol=1e-6
     )
     np.testing.assert_allclose(
-        np.asarray(dp_state.ema_params), np.asarray(fs_state.ema_params),
+        np.asarray(dp_state.ema_params), np.asarray(z_state.ema_params),
         rtol=1e-4, atol=1e-6,
     )
 
 
-def test_fsdp_state_actually_sharded():
+def test_zero_state_actually_sharded():
     if jax.device_count() < 8:
         pytest.skip("needs 8 virtual devices")
-    mesh = make_mesh(8, model_parallel=4)
-    assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
-    assert fsdp_size(mesh) == 4
-    state, _ = _run_steps(mesh, n_steps=1)
+    mesh = make_mesh(8)
+    assert mesh.axis_names == (DATA_AXIS,)
+    assert data_size(mesh) == 8
+    state, _ = _run_steps(mesh, zero=True, n_steps=1)
     spec = state.params.sharding.spec
-    assert spec == jax.sharding.PartitionSpec(MODEL_AXIS)
-    # each device holds 1/4 of the padded flat vector
+    assert spec == jax.sharding.PartitionSpec(DATA_AXIS)
+    # each device holds 1/8 of the padded flat vector
     n = state.params.shape[0]
     shard_shapes = {s.data.shape for s in state.params.addressable_shards}
-    assert shard_shapes == {(n // 4,)}
+    assert shard_shapes == {(n // 8,)}
     # optimizer moments and EMA are sharded too; scalars replicated
     assert state.opt_state.m.sharding.spec == spec
     assert state.ema_params.sharding.spec == spec
     assert state.opt_state.count.sharding.spec == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.slow
+def test_zero_matches_dp_real_model():
+    """DP vs ZeRO agreement on the REAL TAM-TR graph (nano config): the full
+    train step — graph executor, TIAGELAN text guidance, VSS mixers, CDN,
+    deformable decoder, matcher, DETR loss, flat AdamW + EMA — must produce
+    identical losses and parameters under both state layouts."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tamtr_tpu.losses.detr_loss import DETRLossConfig
+    from tamtr_tpu.nn.graph import TAMTRModel
+
+    B, M, nc, sz, hd = 8, 4, 10, 64, 128
+
+    def run(zero):
+        mesh = make_mesh(8)
+        model = TAMTRModel.from_yaml(
+            "tamtr-nano.yaml", nc=nc, max_gt=M, scan_chunk=32, num_denoising=8
+        )
+        cfg = TrainConfig(batch_size=B, warmup_iters=2, epochs=2, accumulate=1)
+        state, tx = create_train_state(
+            model, jax.random.PRNGKey(0), cfg, (B, sz, sz, 3), nc,
+            steps_per_epoch=2, max_gt=M, text_dim=hd,
+        )
+        step_fn = make_train_step(
+            model, tx, DETRLossConfig(nc=nc), cfg, mesh=mesh, zero=zero
+        )
+        ssh = train_state_shardings(mesh, state, zero=zero)
+        bsh = batch_sharding(mesh)
+        state = jax.device_put(state, ssh)
+        jit_step = jax.jit(
+            step_fn, in_shardings=(ssh, bsh, None),
+            out_shardings=(ssh, replicated(mesh)), donate_argnums=(0,),
+        )
+        rng = np.random.default_rng(3)
+        losses = []
+        for i in range(2):
+            host = {
+                "img": rng.random((B, sz, sz, 3), dtype=np.float32),
+                "txt_feats": rng.standard_normal((B, nc, hd)).astype(np.float32),
+                "cls": rng.integers(0, nc, (B, M)).astype(np.int32),
+                "bboxes": np.clip(rng.random((B, M, 4)), 0.1, 0.9).astype(np.float32),
+                "mask": np.tile(np.arange(M)[None] < 3, (B, 1)),
+            }
+            dev = jax.tree.map(lambda x: jax.device_put(x, bsh), host)
+            state, m = jit_step(state, dev, jax.random.PRNGKey(50 + i))
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    dp_state, dp_losses = run(zero=False)
+    z_state, z_losses = run(zero=True)
+    assert np.isfinite(dp_losses).all()
+    np.testing.assert_allclose(dp_losses, z_losses, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dp_state.params), np.asarray(z_state.params), rtol=1e-3, atol=1e-5
+    )
 
 
 def test_flat_padding_invariants():
@@ -127,6 +188,34 @@ def test_flat_padding_invariants():
     assert float(flat[22:].sum()) == 0.0  # zero pad
 
 
-def test_mesh_model_parallel_validation():
-    with pytest.raises(ValueError):
-        make_mesh(6, devices=jax.devices()[:6], model_parallel=4)
+def test_checkpoint_pad_migration(tmp_path):
+    """Checkpoints saved with a different flat-vector padding restore: short
+    vectors zero-pad, long ones slice (PAD_MULTIPLE migration path)."""
+    from tamtr_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+
+    model = TinyDet()
+    cfg = TrainConfig(batch_size=2, warmup_iters=2, epochs=2)
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), cfg, (2, 8, 8, 3), nc=4,
+        steps_per_epoch=2, max_gt=2,
+    )
+    # simulate a pre-padding checkpoint: slice every (P,) vector to raw size
+    n_raw = state.params.shape[0] - PAD_MULTIPLE // 2
+    old = state.replace(
+        params=state.params[:n_raw],
+        ema_params=state.ema_params[:n_raw],
+        opt_state=state.opt_state._replace(
+            m=state.opt_state.m[:n_raw],
+            v=state.opt_state.v[:n_raw],
+            acc=state.opt_state.acc[:n_raw],
+            decay_mask=state.opt_state.decay_mask[:n_raw],
+            bias_mask=state.opt_state.bias_mask[:n_raw],
+        ),
+    )
+    save_checkpoint(tmp_path / "old", old)
+    restored, _ = load_checkpoint(tmp_path / "old", state)
+    assert restored.params.shape == state.params.shape
+    np.testing.assert_array_equal(
+        np.asarray(restored.params)[:n_raw], np.asarray(state.params)[:n_raw]
+    )
+    assert float(np.asarray(restored.params)[n_raw:].sum()) == 0.0

@@ -48,6 +48,24 @@ def test_pallas_grad(rng):
         np.testing.assert_allclose(np.asarray(p), np.asarray(x), atol=1e-4, rtol=1e-4)
 
 
+def test_pallas_grad_bf16_inputs(rng):
+    """The unfused entry documents non-fp32 upcast; its backward must honor
+    that under grad too (the vjp residuals/cotangent are upcast to fp32 and
+    the returned cotangents cast back — a bf16 dy against the fp32-output
+    oracle would otherwise raise a cotangent-dtype error)."""
+    a = list(_args(rng, 1, 24, 8, 4))
+    for i in (0, 1, 3, 4):  # u, delta, Bs, Cs in bf16; A/D stay fp32
+        a[i] = a[i].astype(jnp.bfloat16)
+
+    def f(*args):
+        return selective_scan_pallas(*args, 16).astype(jnp.float32).sum()
+
+    g = jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(*a)
+    for i, p in enumerate(g):
+        assert p.dtype == a[i].dtype, f"cotangent {i}: {p.dtype} != {a[i].dtype}"
+        assert bool(jnp.isfinite(p.astype(jnp.float32)).all())
+
+
 def _ss2d_args(rng, B=2, H=6, W=8, Din=8, N=4, R=4):
     L = H * W
     xm = rng.standard_normal((B, H, W, Din)).astype(np.float32)

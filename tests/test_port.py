@@ -94,6 +94,50 @@ def test_backbone_neck_forward_parity(ref_model, ported):
         np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
 
 
+def test_full_model_eval_parity(ref_model, ported):
+    """Head-inclusive end-to-end eval parity with ported weights.
+
+    Patches the reference's CUDA selective-scan bindings with a naive torch
+    recurrence (tools/refstubs.install_scan_oracle) so the ENTIRE reference
+    forward — VSS levels, deformable decoder, contrastive heads — runs on
+    CPU (reference `nn/tasks.py:625-672` -> `head.py:1005-1293`), then
+    asserts the eval outputs (normalized cxcywh boxes + sigmoid scores,
+    reference `head.py:1166-1175`) match the TPU model with ported weights.
+    """
+    import torch
+
+    from tools.refstubs import install_scan_oracle
+
+    install_scan_oracle()
+
+    model, params, batch_stats, _ = ported
+    rng = np.random.default_rng(7)
+    # 64px: token count 16^2 + 8^2 + 4^2 = 336 >= nq=100, so top-k query
+    # selection is exercised without the tiny-input tiling fallback.
+    img = rng.random((1, 64, 64, 3), dtype=np.float32)
+    txt = rng.standard_normal((1, 10, 512)).astype(np.float32)
+    txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+
+    with torch.no_grad():
+        ref_out = ref_model.predict(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)).contiguous(),
+            txt_feats=torch.from_numpy(txt),
+        )
+    ref_pred = ref_out[0].numpy()  # (B, nq, 4 + nc)
+
+    import jax.numpy as jnp
+
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(img), jnp.asarray(txt), None, False,
+    )
+    pred = np.asarray(out["pred"])
+    assert pred.shape == ref_pred.shape, (pred.shape, ref_pred.shape)
+    # boxes and scores both live in [0, 1]
+    np.testing.assert_allclose(pred[..., :4], ref_pred[..., :4], atol=1e-3)
+    np.testing.assert_allclose(pred[..., 4:], ref_pred[..., 4:], atol=1e-3)
+
+
 def test_export_round_trips_bitwise(ref_model, ported):
     """flax -> torch export exactly inverts the port (every tensor equal)."""
     from tools.port_torch_weights import export_state_dict

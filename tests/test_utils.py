@@ -32,12 +32,46 @@ def test_get_cfg_overrides():
 
 
 def test_load_data_yaml(tmp_path):
+    (tmp_path / "tr" / "images").mkdir(parents=True)
+    (tmp_path / "va" / "images").mkdir(parents=True)
     (tmp_path / "d.yaml").write_text(
         "path: {}\ntrain: tr/images\nval: va/images\nnc: 2\nnames:\n  0: a\n  1: b\n".format(tmp_path)
     )
     d = load_data_yaml(tmp_path / "d.yaml")
     assert d["names"] == ["a", "b"]
     assert d["train"].endswith("tr/images")
+
+
+def test_load_data_yaml_schema_checks(tmp_path):
+    """Reference `check_det_dataset` validation (`data/utils.py:237-320`)."""
+    import pytest
+
+    (tmp_path / "tr").mkdir()
+    (tmp_path / "va").mkdir()
+    base = f"path: {tmp_path}\ntrain: tr\nval: va\n"
+    # missing names AND nc
+    (tmp_path / "a.yaml").write_text(base)
+    with pytest.raises(SyntaxError, match="names.*nc|nc.*names"):
+        load_data_yaml(tmp_path / "a.yaml")
+    # names/nc length mismatch
+    (tmp_path / "b.yaml").write_text(base + "nc: 3\nnames: [x, y]\n")
+    with pytest.raises(SyntaxError, match="must match"):
+        load_data_yaml(tmp_path / "b.yaml")
+    # missing val key
+    (tmp_path / "c.yaml").write_text(f"path: {tmp_path}\ntrain: tr\nnc: 1\n")
+    with pytest.raises(SyntaxError, match="'val'"):
+        load_data_yaml(tmp_path / "c.yaml")
+    # 'validation' rename shim + class_<i> synthesis
+    (tmp_path / "e.yaml").write_text(f"path: {tmp_path}\ntrain: tr\nvalidation: va\nnc: 2\n")
+    d = load_data_yaml(tmp_path / "e.yaml")
+    assert d["val"].endswith("va") and d["names"] == ["class_0", "class_1"]
+    # nonexistent val path -> actionable error
+    (tmp_path / "f.yaml").write_text(f"path: {tmp_path}\ntrain: tr\nval: nope\nnc: 1\n")
+    with pytest.raises(FileNotFoundError, match="nope"):
+        load_data_yaml(tmp_path / "f.yaml")
+    # check=False skips split/exists validation (names-only consumers)
+    (tmp_path / "g.yaml").write_text("names: [a, b]\n")
+    assert load_data_yaml(tmp_path / "g.yaml", check=False)["nc"] == 2
 
 
 def test_cli_parse():
@@ -86,6 +120,26 @@ def test_tuner_improves(tmp_path):
     rows = (tmp_path / "tune_results.csv").read_text().strip().splitlines()
     assert len(rows) == 9  # header + 8 iterations
     assert best["lr0"] != 1e-4 or True  # mutated at least once
+
+
+def test_tuner_survives_crashing_trials(tmp_path):
+    """A raising trial scores fitness 0 and evolution continues (the
+    reference isolates trials in subprocesses for the same reason,
+    `engine/tuner.py:32-224`)."""
+    t = Tuner(save_dir=tmp_path, seed=0)
+    calls = []
+
+    def train_fn(hyp):
+        calls.append(hyp)
+        if len(calls) % 2:
+            raise RuntimeError("boom")
+        return {"fitness": 0.5}
+
+    best = t(train_fn, base_hyp={"lr0": 1e-4}, iterations=4)
+    assert len(calls) == 4  # crash did not stop the loop
+    rows = (tmp_path / "tune_results.csv").read_text().strip().splitlines()
+    assert len(rows) == 5
+    assert best  # a surviving trial won
 
 
 def test_coco_dump(tmp_path):

@@ -37,39 +37,58 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def encode_transformers(texts, model_name):
-    import torch
-    from transformers import CLIPTextModelWithProjection, CLIPTokenizer
+def load_clip_tokenizer(model_name="openai/clip-vit-base-patch32"):
+    """Load the CLIP BPE tokenizer (transformers' copy of the same vocab)."""
+    from transformers import CLIPTokenizer
 
-    tok = CLIPTokenizer.from_pretrained(model_name, local_files_only=True)
-    mdl = CLIPTextModelWithProjection.from_pretrained(model_name, local_files_only=True)
-    mdl.eval()
+    return CLIPTokenizer.from_pretrained(model_name, local_files_only=True)
+
+
+def tokenize_texts(texts, tokenizer, max_length=77):
+    """Texts -> (K, 77) int ids, OpenAI-CLIP compatible.
+
+    Pads with the EOT token (transformers' CLIP pad token IS endoftext), so
+    the torchscript tower's `argmax(ids)` EOT-pooling — which returns the
+    FIRST occurrence of the max id — still picks the true EOT position.
+    """
+    enc = tokenizer(
+        list(texts), padding="max_length", max_length=max_length,
+        truncation=True, return_tensors="pt",
+    )
+    return enc["input_ids"]
+
+
+def encode_transformers(texts, model_name, tokenizer=None, model=None):
+    """transformers CLIPTextModelWithProjection path (hf checkpoint dir)."""
+    import torch
+
+    tok = tokenizer or load_clip_tokenizer(model_name)
+    if model is None:
+        from transformers import CLIPTextModelWithProjection
+
+        model = CLIPTextModelWithProjection.from_pretrained(
+            model_name, local_files_only=True
+        )
+    model.eval()
     with torch.no_grad():
         inputs = tok(list(texts), padding=True, return_tensors="pt")
-        emb = mdl(**inputs).text_embeds.float().numpy()
+        emb = model(**inputs).text_embeds.float().numpy()
     return emb
 
 
-def encode_openai_pt(texts, pt_path):
+def encode_openai_pt(texts, pt_path, tokenizer=None, model=None):
     """OpenAI CLIP torchscript archive (ViT-B-32.pt): run the text tower.
 
-    Mirrors `clip.encode_text`: token_embedding + positional_embedding ->
-    transformer -> ln_final -> take EOT token -> text_projection.
+    Mirrors the reference `clip.encode_text` call
+    (`/root/reference/ultralytics/nn/tasks.py:552-572`) via the archive's
+    exported `encode_text` method.
     """
     import torch
 
-    model = torch.jit.load(pt_path, map_location="cpu").float().eval()
-    sd = model.state_dict()
-    # minimal BPE-free path is impossible — the tokenizer is required. Use
-    # transformers' tokenizer (same BPE vocab) if available.
-    from transformers import CLIPTokenizer
-
-    tok = CLIPTokenizer.from_pretrained("openai/clip-vit-base-patch32", local_files_only=True)
-    enc = tok(list(texts), padding="max_length", max_length=77, return_tensors="pt")
-    ids = enc["input_ids"]
+    if model is None:
+        model = torch.jit.load(pt_path, map_location="cpu").float().eval()
+    ids = tokenize_texts(texts, tokenizer or load_clip_tokenizer())
     with torch.no_grad():
-        x = sd["token_embedding.weight"][ids] + sd["positional_embedding"][None]
-        # run the torchscript text transformer via the exported encode_text
         emb = model.encode_text(ids).float().numpy()
     return emb
 
@@ -92,7 +111,8 @@ def main(argv=None):
     if args.data:
         from tamtr_tpu.config import load_data_yaml
 
-        names = load_data_yaml(args.data)["names"]
+        # check=False: encoding only needs the names table, not split paths
+        names = load_data_yaml(args.data, check=False)["names"]
         for n in names:
             for syn in str(n).split("/"):
                 if syn not in texts:

@@ -41,6 +41,56 @@ def _stub_pkg(name, attrs=None, any_attr=False):
     return mod
 
 
+def install_scan_oracle() -> None:
+    """Replace the reference's CUDA selective-scan bindings with a naive
+    torch recurrence so the ENTIRE reference forward runs on CPU.
+
+    The reference has no non-CUDA path for the S6 scan (every FORWARD_TYPES
+    entry binds a CUDA-extension Function, reference `vmamba.py:404-426`;
+    imports `csms6s.py:113-134`). This oracle implements the exact kernel
+    contract (`csms6s.py:229-293`): h_t = exp(dt*A)*h_{t-1} + dt*B*u_t;
+    y_t = C_t.h_t + D*u_t, with optional delta bias + softplus — making the
+    full reference `RTDETRDetectionWorldModel.predict` a CPU test oracle
+    for head-inclusive ported-weights parity.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    def naive_scan(u, delta, A, B, C, D=None, delta_bias=None,
+                   delta_softplus=False, *unused):
+        # u, delta: (b, d, l); A: (d, n); B, C: (b, k, n, l); D/bias: (d,)
+        u = u.float()
+        delta = delta.float()
+        b, d, l = u.shape
+        n = A.shape[1]
+        k = B.shape[1]
+        dim = d // k
+        if delta_bias is not None:
+            delta = delta + delta_bias.float().view(1, d, 1)
+        if delta_softplus:
+            delta = F.softplus(delta)
+        Bm = B.float().unsqueeze(2).expand(b, k, dim, n, l).reshape(b, d, n, l)
+        Cm = C.float().unsqueeze(2).expand(b, k, dim, n, l).reshape(b, d, n, l)
+        dA = torch.exp(delta.unsqueeze(2) * A.float().view(1, d, n, 1))
+        dBu = delta.unsqueeze(2) * Bm * u.unsqueeze(2)
+        h = torch.zeros(b, d, n, dtype=torch.float32)
+        ys = []
+        for t in range(l):
+            h = dA[..., t] * h + dBu[..., t]
+            ys.append((h * Cm[..., t]).sum(-1))
+        y = torch.stack(ys, dim=-1)
+        if D is not None:
+            y = y + D.float().view(1, d, 1) * u
+        return y
+
+    from ultralytics.nn.extra_modules.VManba import csms6s
+
+    for cls_name in ("SelectiveScanCore", "SelectiveScanOflex", "SelectiveScanMamba"):
+        cls = getattr(csms6s, cls_name, None)
+        if cls is not None:
+            cls.apply = staticmethod(naive_scan)
+
+
 def install_reference_stubs(reference_path: str = "/root/reference") -> None:
     """Make `import ultralytics` (the reference fork) work on this image."""
     import torch

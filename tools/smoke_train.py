@@ -100,6 +100,13 @@ def main(argv=None) -> int:
     # count 16x and the loss plateaus. Default pins accumulate=1.
     ap.add_argument("--nbs", type=int, default=0, help="0 = same as --batch")
     ap.add_argument("--name", default="smoke")
+    # text-dependence check: after training, re-validate with the class
+    # embedding rows cyclically shuffled — if the contrastive heads
+    # (`nn/decoder.py:ContrastiveHead`, reference `block.py:522-542`) truly
+    # score regions against text, mAP must crater (classes swap labels).
+    ap.add_argument("--text-check", action="store_true")
+    ap.add_argument("--text-check-ratio", type=float, default=0.5,
+                    help="fail if shuffled mAP50 > ratio * trained mAP50")
     args = ap.parse_args(argv)
 
     root = Path(args.root)
@@ -145,6 +152,27 @@ def main(argv=None) -> int:
     ok = metrics.get("mAP50", 0.0) >= args.pass_map50
     print(("PASS" if ok else "FAIL")
           + f": mAP50 {metrics.get('mAP50', 0.0):.3f} vs gate {args.pass_map50}")
+
+    if args.text_check and ok:
+        # The text table rows carry the per-class identity the contrastive
+        # heads score against; a cyclic row shuffle relabels every class, so
+        # class-matched TPs (and mAP) must collapse if — and only if — the
+        # text branch carries signal (hash embeddings are near-orthogonal
+        # unit vectors, so this is a semantic check, not a norm check).
+        eng = model._lazy_engine()
+        names = [NAMES[i] for i in range(len(NAMES))]
+        good = metrics.get("mAP50", 0.0)
+        shuffled = np.roll(np.asarray(eng.txt_feats, np.float32), 1, axis=0)
+        eng.set_classes(names, shuffled)
+        m_shuf = model.val(data=str(yml), conf=args.conf,
+                           project=str(root / "runs"), name=args.name + "_shuf",
+                           exist_ok=True, plots=False)
+        bad = m_shuf.get("mAP50", 0.0)
+        crater = bad <= args.text_check_ratio * good
+        print(f"text-check: trained mAP50 {good:.3f} -> shuffled-text "
+              f"{bad:.3f} ({'PASS' if crater else 'FAIL'}: contrastive heads "
+              f"{'do' if crater else 'do NOT'} depend on the text rows)")
+        return 0 if crater else 1
     return 0 if ok else 1
 
 
