@@ -6,8 +6,11 @@ Prints ONE JSON line:
 
 The train-step measurement runs the REAL jitted train step (full TAM-TR
 recipe shapes: 640px, max_gt 300, remat, flat AdamW+EMA, batched auction
-matching) at micro-batch 4 — the measured throughput optimum on v5e 16 GB
-(sweep: b2 229 ms per-call; b4 best; b8 OOMs). Steps are chained inside
+matching). Micro-batch by dtype: bf16 runs b8 (8.4 GiB peak temps, fits;
+63.3 ms/img vs 73.9 at b4 — the bf16 activations halve the remat'ed
+backward's HBM traffic AND free enough memory for the larger batch), fp32
+runs b4 (b8 fp32 needs 12.7 GiB temps + ~2.8 GiB state/IO and thrashes
+the 16 GB chip; b2 was 229 ms per-call). Steps are chained inside
 one jit (lax.scan over the state carry) so the ~30 ms axon dispatch+fetch
 round-trip is amortized — per-call fetch timing reads 425 ms where the
 device time is 393 ms for the identical step.
@@ -109,10 +112,11 @@ def main() -> None:
     ips = BATCH / best
 
     # headline train config: bf16 compute (fp32 scan state + loss — the
-    # reference force_fp32 contract); fp32 reported alongside. The in-run
-    # finiteness check guards the bf16 number (losses fetched every chain).
-    train_ips, train_ms = measure_train_step(jnp.bfloat16)
-    _, train_ms_fp32 = measure_train_step(jnp.float32)
+    # reference force_fp32 contract) at micro-batch 8; fp32 (b4, its memory
+    # optimum) reported alongside. The in-run finiteness check guards the
+    # bf16 number (losses fetched every chain).
+    train_ips, train_ms = measure_train_step(jnp.bfloat16, batch=8)
+    _, train_ms_fp32 = measure_train_step(jnp.float32, batch=4)
     print(
         json.dumps(
             {
@@ -139,7 +143,7 @@ def main() -> None:
     )
 
 
-def measure_train_step(dtype=jnp.float32):
+def measure_train_step(dtype=jnp.float32, batch=4):
     """Steady-state full train step at the TAM-TR recipe shapes.
 
     NOTE: the constants here (batch, max_gt, warmup, epochs, steps/epoch)
@@ -150,7 +154,7 @@ def measure_train_step(dtype=jnp.float32):
     from tamtr_tpu.nn.graph import TAMTRModel
     from tamtr_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
 
-    B, M, nc, sz = 4, 300, 10, 640  # micro-batch 4: measured optimum (see module docstring)
+    B, M, nc, sz = batch, 300, 10, 640  # micro-batch by dtype (module docstring)
     model = TAMTRModel.from_yaml("tamtr.yaml", nc=nc, max_gt=M, remat=True, dtype=dtype)
     cfg = TrainConfig(batch_size=B, warmup_iters=100, epochs=10, accumulate=1)
     state, tx = create_train_state(

@@ -156,6 +156,9 @@ class TAMTRModel(nn.Module):
     # CDN denoising budget (reference `num_denoising=100`, head.py:1015);
     # dn group count = max(1, num_denoising // max_gt)
     num_denoising: int = 100
+    # per-level VSS DropPath rate (reference head.py:1034-1035); 0 disables
+    # the stochastic depth (useful for cross-framework train-mode parity)
+    vss_drop_path: float = 0.1
     wire_text_attn: bool = False
     # deploy=True switches RepConvN blocks to their fused single-conv form
     # (params from `tamtr_tpu.nn.fuse.fuse_repconv_variables`)
@@ -314,6 +317,7 @@ class TAMTRModel(nn.Module):
             use_vss=use_vss,
             variant=variant,
             remat=self.remat,
+            vss_drop_path=self.vss_drop_path,
             name="head",
         )
         return head(feats, txt_feats, targets, train)
