@@ -83,7 +83,9 @@ def selective_scan_xla(
     Cs: jnp.ndarray,
     D: Optional[jnp.ndarray],
     chunk: int = SCAN_CHUNK,
-) -> jnp.ndarray:
+    h0: Optional[jnp.ndarray] = None,
+    return_final: bool = False,
+):
     """S6 selective scan, fp32, chunked associative-scan formulation.
 
     Args:
@@ -93,8 +95,12 @@ def selective_scan_xla(
       Bs:    (G, L, N) input projection.
       Cs:    (G, L, N) output projection.
       D:     (G, Din) skip, or None.
+      h0:    optional (G, Din, N) initial state (zeros when None) — the hook
+             the sequence-parallel scan uses to chain device-local blocks.
+      return_final: also return the final recurrent state h_L.
     Returns:
-      y: (G, L, Din) fp32.
+      y: (G, L, Din) fp32, or (y, h_L) when `return_final` (callers that use
+      only h_L get the per-token y einsum dead-code-eliminated under jit).
     """
     G, L, Din = u.shape
     N = A.shape[-1]
@@ -113,17 +119,17 @@ def selective_scan_xla(
         return x.reshape(G, C_chunks, S, x.shape[-1]).transpose(1, 0, 2, 3)
 
     xs = (to_chunks(u), to_chunks(delta), to_chunks(Bs), to_chunks(Cs))
-    h0 = jnp.zeros((G, Din, N), dtype=u.dtype)
+    h = h0 if h0 is not None else jnp.zeros((G, Din, N), dtype=u.dtype)
 
     def step(h, inp):
         u_c, dt_c, B_c, C_c = inp
         return _scan_chunk(A, h, u_c, dt_c, B_c, C_c)
 
-    _, ys = lax.scan(step, h0, xs)
+    h_final, ys = lax.scan(step, h, xs)
     y = ys.transpose(1, 0, 2, 3).reshape(G, Lp, Din)[:, :L]
     if D is not None:
         y = y + u[:, :L] * D[:, None, :]
-    return y
+    return (y, h_final) if return_final else y
 
 
 def selective_scan(u, delta, A, Bs, Cs, D, chunk: int = SCAN_CHUNK) -> jnp.ndarray:

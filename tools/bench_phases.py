@@ -72,11 +72,16 @@ def timed(name, fn, *args):
 
 
 def main():
+    global B
     args = sys.argv[1:]
     dtype = jnp.float32
     if "--bf16" in args:
         args.remove("--bf16")
         dtype = jnp.bfloat16
+    for a in list(args):
+        if a.startswith("--batch="):
+            B = int(a.split("=")[1])
+            args.remove(a)
     phases = args or ["eval_fwd", "train_fwd", "grad", "full"]
     model, cfg, state, tx, batch = build(dtype)
     targets = {"cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
