@@ -66,17 +66,18 @@ A100_REFERENCE_TRAIN_IMG_PER_SEC = 11.0  # estimated: train step ~ 3x forward
 BATCH = 4
 
 
-def main() -> None:
+def measure_eval(dtype=jnp.float32, batch=BATCH):
+    """Steady-state eval forward, chained (see module docstring)."""
     from tamtr_tpu.nn.graph import TAMTRModel
 
-    model = TAMTRModel.from_yaml("tamtr.yaml", nc=10, max_gt=16)
+    model = TAMTRModel.from_yaml("tamtr.yaml", nc=10, max_gt=16, dtype=dtype)
     imgs = [
         jnp.asarray(
-            np.random.default_rng(i).random((BATCH, 640, 640, 3), dtype=np.float32)
+            np.random.default_rng(i).random((batch, 640, 640, 3), dtype=np.float32)
         )
         for i in range(4)
     ]
-    txt = jnp.zeros((BATCH, 10, 512), jnp.float32)
+    txt = jnp.zeros((batch, 10, 512), jnp.float32)
 
     def init(k, img, txt):
         return model.init({"params": k, "cdn": k, "dropout": k}, img, txt, None, False)
@@ -98,7 +99,7 @@ def main() -> None:
         def body(c, _):
             pred = fwd(variables, c, txt)
             # fold the prediction back into the image so steps are dependent
-            bump = jnp.tanh(pred.mean()) * 1e-3
+            bump = jnp.tanh(pred.astype(jnp.float32).mean()) * 1e-3
             return jnp.clip(c + bump, 0.0, 1.0), None
         out, _ = jax.lax.scan(body, img, None, length=ITERS)
         return out
@@ -109,7 +110,14 @@ def main() -> None:
         t0 = time.perf_counter()
         jax.device_get(chained(variables, im, txt)[0, 0, :2])
         best = min(best, (time.perf_counter() - t0) / ITERS)
-    ips = BATCH / best
+    return batch / best
+
+
+def main() -> None:
+    ips = measure_eval(jnp.float32)
+    # bf16 serving path (cfg.half / AutoBackend half): fp32 is the headline
+    # for apples-to-apples with the fp32 reference estimate
+    ips_bf16 = measure_eval(jnp.bfloat16)
 
     # headline train config: bf16 compute (fp32 scan state + loss — the
     # reference force_fp32 contract) at micro-batch 8; fp32 (b4, its memory
@@ -124,6 +132,7 @@ def main() -> None:
                 "value": round(ips, 2),
                 "unit": "img/s",
                 "vs_baseline": round(ips / A100_REFERENCE_IMG_PER_SEC, 2),
+                "eval_img_per_sec_bf16": round(ips_bf16, 2),
                 "train_img_per_sec": round(train_ips, 2),
                 "train_step_ms": round(train_ms, 1),
                 "train_dtype": "bfloat16",
