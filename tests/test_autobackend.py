@@ -86,13 +86,20 @@ def test_benchmark_validates_export_accuracy(trained):
     eng = m._lazy_engine()
     from tamtr_tpu.utils.benchmarks import benchmark
 
+    formats = ["orbax", "npz", "stablehlo"]
+    try:
+        import tensorflow  # noqa: F401
+
+        formats += ["savedmodel", "pb"]
+    except ImportError:
+        pass
     rows = benchmark(
-        eng, imgsz=64, batch=1, formats=["orbax", "npz", "stablehlo"],
+        eng, imgsz=64, batch=1, formats=formats,
         out_dir=str(root / "bench"), n_iter=2,
     )
     by_fmt = {r["format"]: r for r in rows}
     assert by_fmt["jax"]["parity_ok"]
-    for fmt in ("orbax", "npz", "stablehlo"):
+    for fmt in formats:
         row = by_fmt[fmt]
         assert row["ok"], row
         assert row.get("parity_ok"), row
