@@ -1,27 +1,47 @@
-"""Weighted-gather with a Pallas scatter-accumulate backward.
+"""Weighted-gather with Pallas forward-gather and scatter-accumulate backward.
 
 The deformable-attention sampling gather (reference
-`nn/modules/utils.py:42-92`, `F.grid_sample`) transposes to a scatter-add
-in the backward: dL/dvalue[idx] += w * dL/dout. XLA lowers that scatter
-serially, and in the full train-step program it also picks a transposed
-({0,1}) layout for the level-0 target so every 64-wide update row touches
-64 strided tiles — profiled at 67 ms per decoder layer (201 ms/step, 30%
-of the whole b4 train step). This module routes the scatter through a
-Pallas kernel with the (L, c) accumulator resident in VMEM: measured
-8.5 ms for the same level-0 shape (G=32, 358k row-updates), 8x faster.
+`nn/modules/utils.py:42-92`, `F.grid_sample`) is slow in BOTH directions
+under plain XLA at production shapes:
 
-`weighted_gather(value, idx, w, p4)` is the custom_vjp op used by
-`nn/decoder.py:ms_deform_attn_core`:
-  out[b, q, n, :] = sum_k w[b, q*p4+k, n] * value[b, idx[b, q*p4+k, n], n, :]
-The forward stays plain XLA (gathers are fast); only dvalue goes through
-the kernel. dw is recomputed by re-gather; idx (int) gets no gradient —
-sampling-location gradients flow through the bilinear corner weights
-folded into `w`, exactly like grid_sample's backward.
+- backward: dL/dvalue[idx] += w * dL/dout lowers to a serial scatter that
+  also picks a transposed ({0,1}) layout for the level-0 target — profiled
+  at 67 ms per decoder layer (201 ms/step, 30% of the whole b4 train step).
+  Routed through a Pallas kernel with the (L, c) accumulator resident in
+  VMEM: 8.5 ms for the same level-0 shape (G=32, 358k row-updates).
+- forward: XLA's row gather runs at ~17 ns/row regardless of row width
+  below 256 lanes (row-count bound: c=64 37.7 ms, c=128 21.8, c=256 15.7;
+  a 4-wide "quad" re-layout costs 10.5 ms to materialize, a wash). Routed
+  through `_gather_acc_pairs`: the (L, c) value block stays VMEM-resident
+  per (batch, head) grid step and each bilinear corner PAIR is one (2, c)
+  dynamic row load (the two x corners of a sample point are consecutive
+  flat indices), accumulated per query in registers and stored once.
+
+Same-session A/B at 640px b8 Q=700 fp32 (TAMTR_DEFORM_XLA=1 vs Pallas,
+`tools/bench_deform.py`): fwd 38.1 -> 19.1 ms/decoder-layer (2.0x),
+fwd+bwd 182.3 -> 37.1 ms (4.9x).
+
+`bilinear_gather(value, idx4, w_pairs, idx2, P)` is the custom_vjp op used
+by `nn/decoder.py:ms_deform_attn_core`. On TPU the forward runs the Pallas
+pair-gather and the backward one fused Pallas pass producing both dvalue
+(pair scatter-accumulate) and dw (per-pair value·dout dots); off-TPU both
+fall back to plain XLA. idx (int) gets no gradient — sampling-location
+gradients flow through the bilinear corner weights folded into `w`,
+exactly like grid_sample's backward.
+
+Note the dw contract: for border-clipped pairs whose corner weight is
+structurally zero (the `valid` factor in `ms_deform_attn_core` is 0), the
+dead slot's dw value is unspecified — the Pallas path returns
+value[idx2+slot]·dout while XLA returns value[idx4_clipped]·dout. Both are
+multiplied by d(w)/d(upstream) = 0 in the caller's weight construction, so
+end-to-end gradients are identical (asserted by tests through the full
+location->weight chain).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +52,14 @@ from tamtr_tpu.kernels.selective_scan import _compiler_params, _interpret
 
 # Tests set this to force the Pallas backward (interpret mode) off-TPU.
 FORCE_PALLAS = False
+
+
+def _use_pallas() -> bool:
+    """Pallas on TPU (or when tests force it); TAMTR_DEFORM_XLA=1 opts back
+    into the plain-XLA gather/scatter for A/B benchmarking."""
+    if os.environ.get("TAMTR_DEFORM_XLA"):
+        return False
+    return jax.default_backend() == "tpu" or FORCE_PALLAS
 
 
 def _scatter_kernel(idx_ref, w_ref, dout_ref, acc_ref, *, n_upd: int, p4: int):
@@ -94,7 +122,7 @@ def _bwd(p4, res, dout):
     nU = idx.shape[1]
     Q = nU // p4
     dout32 = dout.astype(jnp.float32)
-    if jax.default_backend() == "tpu" or FORCE_PALLAS:
+    if _use_pallas():
         idx_g = idx.transpose(0, 2, 1).reshape(B * nh, nU)
         w_g = w.astype(jnp.float32).transpose(0, 2, 1).reshape(B * nh, nU)
         dout_g = dout32.transpose(0, 2, 1, 3).reshape(B * nh, Q, c)
@@ -139,6 +167,99 @@ weighted_gather.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 _ROW_PAD = 8  # spare accumulator rows; >= 1 needed, 8 keeps fp32 tiling
+
+
+def _gather_pairs_kernel(idx_ref, wa_ref, wb_ref, value_ref, out_ref, *, pairs_per_q: int):
+    """One grid step g (= b*nh + h). idx/wa/wb (1, nU2) SMEM; value (L2, c)
+    VMEM (zero-padded with _ROW_PAD spare rows so the bottom-right pair's
+    second row reads scratch); out (Q, c) VMEM. Query q accumulates its
+    pairs_per_q = P*2 corner pairs in registers and stores once."""
+
+    def body(q, _):
+        acc = jnp.zeros((1, out_ref.shape[1]), jnp.float32)
+        for j in range(pairs_per_q):  # static unroll
+            u = q * pairs_per_q + j
+            rows = value_ref[pl.ds(idx_ref[0, u], 2), :]  # (2, c)
+            acc = acc + rows[0:1] * wa_ref[0, u] + rows[1:2] * wb_ref[0, u]
+        out_ref[pl.ds(q, 1), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, out_ref.shape[0], body, 0)
+
+
+def _gather_acc_pairs(idx2, wa, wb, value_pad, Q: int):
+    """idx2/wa/wb (G, nU2); value_pad (G, L2, c) f32 (L2 includes _ROW_PAD
+    zero rows) -> (G, Q, c) f32; nU2 = Q * pairs_per_q."""
+    G, nU2 = idx2.shape
+    _, L2, c = value_pad.shape
+    smem = pl.BlockSpec((None, 1, nU2), lambda g: (g, 0, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(_gather_pairs_kernel, pairs_per_q=nU2 // Q),
+        grid=(G,),
+        in_specs=[
+            smem,
+            smem,
+            smem,
+            pl.BlockSpec((None, L2, c), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, Q, c), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, Q, c), jnp.float32),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(idx2[:, None], wa[:, None], wb[:, None], value_pad)
+
+
+def _scatter_dw_pairs_kernel(
+    idx_ref, wa_ref, wb_ref, value_ref, dout_ref, acc_ref, dw_ref, *, pairs_per_q: int
+):
+    """Fused backward: one grid step g. idx/wa/wb (1, nU2) SMEM; value
+    (L2, c) and dout (Q, c) VMEM. Outputs: acc (L2, c) scatter-accumulated
+    dvalue rows, dw (nU2, 2) per-pair value·dout dots. The dout row is
+    loaded once per query and shared by its pairs_per_q updates."""
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(q, _):
+        drow = dout_ref[pl.ds(q, 1), :]  # (1, c)
+        for j in range(pairs_per_q):  # static unroll
+            u = q * pairs_per_q + j
+            i = idx_ref[0, u]
+            rows = value_ref[pl.ds(i, 2), :]  # (2, c)
+            upd = jnp.concatenate([drow * wa_ref[0, u], drow * wb_ref[0, u]], axis=0)
+            acc_ref[pl.ds(i, 2), :] += upd
+            dw_ref[pl.ds(u, 1), :] = jnp.sum(rows * drow, axis=1).reshape(1, 2)
+        return 0
+
+    jax.lax.fori_loop(0, dout_ref.shape[0], body, 0)
+
+
+def _scatter_dw_acc_pairs(idx2, wa, wb, value_pad, dout):
+    """idx2/wa/wb (G, nU2); value_pad (G, L2, c) f32; dout (G, Q, c) f32
+    -> (acc (G, L2, c), dw (G, nU2, 2)) f32."""
+    G, nU2 = idx2.shape
+    _, L2, c = value_pad.shape
+    _, Q, _ = dout.shape
+    smem = pl.BlockSpec((None, 1, nU2), lambda g: (g, 0, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        functools.partial(_scatter_dw_pairs_kernel, pairs_per_q=nU2 // Q),
+        grid=(G,),
+        in_specs=[
+            smem,
+            smem,
+            smem,
+            pl.BlockSpec((None, L2, c), lambda g: (g, 0, 0)),
+            pl.BlockSpec((None, Q, c), lambda g: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, L2, c), lambda g: (g, 0, 0)),
+            pl.BlockSpec((None, nU2, 2), lambda g: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, L2, c), jnp.float32),
+            jax.ShapeDtypeStruct((G, nU2, 2), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(idx2[:, None], wa[:, None], wb[:, None], value_pad, dout)
 
 
 def _scatter_pairs_kernel(
@@ -201,7 +322,7 @@ def bilinear_gather(value, idx4, w_pairs, idx2, P: int):
       spare rows with weight 0).
     Returns (B, Q, nh, c) in value.dtype.
     """
-    return _bilinear_fwd_impl(value, idx4, w_pairs, P)
+    return _bilinear_fwd_impl(value, idx4, w_pairs, idx2, P)
 
 
 def _w4_of_pairs(w_pairs):
@@ -209,30 +330,57 @@ def _w4_of_pairs(w_pairs):
     return w_pairs.transpose(0, 1, 3, 2).reshape(B, nU2 * 2, nh)
 
 
-def _bilinear_fwd_impl(value, idx4, w_pairs, P):
+def _pairs_to_grid(x, G, nU2):
+    """(B, nU2, nh) -> (G = B*nh, nU2) head-major."""
+    return x.transpose(0, 2, 1).reshape(G, nU2)
+
+
+def _value_pad_grid(value):
+    """(B, L, nh, c) -> (B*nh, L + _ROW_PAD, c) f32, zero spare rows."""
+    B, L, nh, c = value.shape
+    v = value.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B * nh, L, c)
+    return jnp.concatenate([v, jnp.zeros((B * nh, _ROW_PAD, c), jnp.float32)], axis=1)
+
+
+def _bilinear_fwd_impl(value, idx4, w_pairs, idx2, P):
+    if _use_pallas():
+        B, L, nh, c = value.shape
+        nU2 = idx2.shape[1]
+        Q = nU2 // (P * 2)
+        G = B * nh
+        w_g = w_pairs.astype(jnp.float32).transpose(3, 0, 2, 1).reshape(2, G, nU2)
+        out = _gather_acc_pairs(
+            _pairs_to_grid(idx2, G, nU2), w_g[0], w_g[1], _value_pad_grid(value), Q
+        )
+        return out.reshape(B, nh, Q, c).transpose(0, 2, 1, 3).astype(value.dtype)
     return _gather_fwd_impl(value, idx4, _w4_of_pairs(w_pairs), P * 4)
 
 
 def _bilinear_fwd(value, idx4, w_pairs, idx2, P):
-    return _bilinear_fwd_impl(value, idx4, w_pairs, P), (value, idx4, w_pairs, idx2)
+    return _bilinear_fwd_impl(value, idx4, w_pairs, idx2, P), (value, idx4, w_pairs, idx2)
 
 
 def _bilinear_bwd(P, res, dout):
     value, idx4, w_pairs, idx2 = res
     B, L, nh, c = value.shape
     nU4 = idx4.shape[1]
+    nU2 = nU4 // 2
     Q = nU4 // (P * 4)
     dout32 = dout.astype(jnp.float32)
-    if jax.default_backend() == "tpu" or FORCE_PALLAS:
-        idx_g = idx2.transpose(0, 2, 1).reshape(B * nh, nU4 // 2)
+    if _use_pallas():
+        G = B * nh
+        idx_g = _pairs_to_grid(idx2, G, nU2)
         # (B, nU2, nh, 2) -> (2, B*nh, nU2): contiguous per-slot weight
         # planes (a trailing stride-2 slice feeding SMEM costs a copy)
-        w_g = w_pairs.astype(jnp.float32).transpose(3, 0, 2, 1).reshape(
-            2, B * nh, nU4 // 2
+        w_g = w_pairs.astype(jnp.float32).transpose(3, 0, 2, 1).reshape(2, G, nU2)
+        dout_g = dout32.transpose(0, 2, 1, 3).reshape(G, Q, c)
+        # one fused pass: dvalue scatter + per-pair value.dout dots (a
+        # standalone XLA re-gather for dw would cost the full 32 ms gather)
+        dv, dw_g = _scatter_dw_acc_pairs(
+            idx_g, w_g[0], w_g[1], _value_pad_grid(value), dout_g
         )
-        dout_g = dout32.transpose(0, 2, 1, 3).reshape(B * nh, Q, c)
-        dv = _scatter_acc_pairs(idx_g, w_g[0], w_g[1], dout_g, L + _ROW_PAD)[:, :L]
-        dv = dv.reshape(B, nh, L, c).transpose(0, 2, 1, 3)
+        dv = dv[:, :L].reshape(B, nh, L, c).transpose(0, 2, 1, 3)
+        dw_pairs = dw_g.reshape(B, nh, nU2, 2).transpose(0, 2, 1, 3)
     else:
         w4 = _w4_of_pairs(w_pairs)
         upd = w4[..., None].astype(jnp.float32) * jnp.broadcast_to(
@@ -243,12 +391,12 @@ def _bilinear_bwd(P, res, dout):
             .at[jnp.arange(B)[:, None, None], idx4, jnp.arange(nh)[None, None, :]]
             .add(upd)
         )
-    g = jnp.take_along_axis(value, idx4[..., None], axis=1).astype(jnp.float32)
-    dw4 = jnp.einsum(
-        "bqpnc,bqnc->bqpn", g.reshape(B, Q, P * 4, nh, c), dout32
-    ).reshape(B, nU4 // 2, 2, nh)
-    dw_pairs = dw4.transpose(0, 1, 3, 2).astype(w_pairs.dtype)
-    return dv.astype(value.dtype), None, dw_pairs, None
+        g = jnp.take_along_axis(value, idx4[..., None], axis=1).astype(jnp.float32)
+        dw4 = jnp.einsum(
+            "bqpnc,bqnc->bqpn", g.reshape(B, Q, P * 4, nh, c), dout32
+        ).reshape(B, nU2, 2, nh)
+        dw_pairs = dw4.transpose(0, 1, 3, 2)
+    return dv.astype(value.dtype), None, dw_pairs.astype(w_pairs.dtype), None
 
 
 bilinear_gather.defvjp(_bilinear_fwd, _bilinear_bwd)

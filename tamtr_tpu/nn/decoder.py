@@ -87,12 +87,14 @@ def ms_deform_attn_core(
                     + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
                 )  # (B, Q, nh, P)
                 corners.append((idx, (wx * wy) * valid))
-        # `bilinear_gather` is a custom_vjp: the forward is one plain XLA
-        # gather over all 4 corners; the backward scatters dL/dvalue through
-        # a Pallas VMEM-accumulator kernel as (2, c) row-pair block updates
-        # — XLA's scatter transpose of this gather was 67 ms/decoder-layer
-        # at 640px b4 (30% of the train step); see
-        # `kernels/deform_scatter.py` for the pair layout contract.
+        # `bilinear_gather` is a custom_vjp Pallas op on TPU: the forward
+        # gathers each bilinear corner PAIR as one (2, c) VMEM row load
+        # (XLA's row gather runs at ~17 ns/row regardless of width), and
+        # the backward is one fused pass producing the dL/dvalue pair
+        # scatter-accumulate AND the per-pair value*dout dots for dw.
+        # Same-session A/B at 640px b8 Q=700: fwd 38.1 -> 19.1 ms/layer,
+        # fwd+bwd 182.3 -> 37.1 ms (tools/bench_deform.py).
+        # See `kernels/deform_scatter.py` for the pair layout contract.
         idx_all = jnp.stack([ci for ci, _ in corners], axis=-1)  # (B,Q,nh,P,4)
         w_all = jnp.stack([cw for _, cw in corners], axis=-1)  # (B,Q,nh,P,4)
         idx4 = idx_all.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 4, nh)

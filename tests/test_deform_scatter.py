@@ -71,13 +71,10 @@ def test_repeated_indices_accumulate(monkeypatch):
     np.testing.assert_allclose(np.asarray(g[0, 1:, 0]), np.zeros((L - 1, c), np.float32))
 
 
-def _make_bilinear(B=2, H=9, W=11, nh=2, c=8, Q=5, P=3, seed=3):
-    """Build bilinear_gather inputs exactly the way ms_deform_attn_core does,
-    with sample locations straddling the borders (negative and > size)."""
-    rng = np.random.default_rng(seed)
-    value = jnp.asarray(rng.standard_normal((B, H * W, nh, c)), jnp.float32)
-    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (B, Q, nh, P, 2)), jnp.float32)
-    w_att = jnp.asarray(rng.random((B, Q, nh, P)), jnp.float32)
+def _bilinear_parts(value, loc, w_att, H, W):
+    """Differentiable replica of ms_deform_attn_core's index/weight
+    construction (single level), border-straddling points included."""
+    B, Q, nh, P, _ = loc.shape
     x = loc[..., 0] * W - 0.5
     y = loc[..., 1] * H - 0.5
     x0, y0 = jnp.floor(x), jnp.floor(y)
@@ -105,37 +102,57 @@ def _make_bilinear(B=2, H=9, W=11, nh=2, c=8, Q=5, P=3, seed=3):
     swap = jnp.broadcast_to((x0 < 0)[..., None], x0.shape + (2,))
     swap = swap.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 2, nh)
     w_pairs = jnp.where(swap[..., None], w_pairs[..., ::-1], w_pairs)
-    return value, idx4, w_pairs, idx2, P, H, W
+    return idx4, w_pairs, idx2
 
 
-def test_bilinear_forward_matches_weighted_gather():
+def _make_bilinear(B=2, H=9, W=11, nh=2, c=8, Q=5, P=3, seed=3):
+    """Inputs with sample locations straddling the borders (negative, > size)."""
+    rng = np.random.default_rng(seed)
+    value = jnp.asarray(rng.standard_normal((B, H * W, nh, c)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (B, Q, nh, P, 2)), jnp.float32)
+    w_att = jnp.asarray(rng.random((B, Q, nh, P)), jnp.float32)
+    return value, loc, w_att, H, W, P
+
+
+@pytest.mark.parametrize("force_pallas", [False, True])
+def test_bilinear_forward_matches_weighted_gather(force_pallas, monkeypatch):
+    """Pallas pair-gather forward (interpret mode on CPU) == plain XLA
+    4-corner gather, including clipped border pairs and the bottom-right
+    pair that reads the zero-padded spare row."""
     from tamtr_tpu.kernels.deform_scatter import bilinear_gather, _w4_of_pairs
 
-    value, idx4, w_pairs, idx2, P, H, W = _make_bilinear()
+    monkeypatch.setattr(ds, "FORCE_PALLAS", force_pallas)
+    value, loc, w_att, H, W, P = _make_bilinear()
+    idx4, w_pairs, idx2 = _bilinear_parts(value, loc, w_att, H, W)
     out = bilinear_gather(value, idx4, w_pairs, idx2, P)
     ref = weighted_gather(value, idx4, _w4_of_pairs(w_pairs), P * 4)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("force_pallas", [False, True])
 def test_bilinear_backward_matches_autodiff(force_pallas, monkeypatch):
-    """Pairs-scatter backward (clamped starts + spare-row accumulator) ==
-    XLA autodiff of the plain 4-corner gather, including border-straddling
-    sample points (the x0=-1 swap is applied by _make_bilinear)."""
+    """Fused Pallas backward (pair scatter + dw dots) == XLA autodiff of the
+    plain 4-corner gather, differentiated through the full location->weight
+    construction (for border-clipped dead slots the raw dw value is
+    unspecified — it is killed by the valid=0 factor upstream, so the
+    comparison must include that chain)."""
     from tamtr_tpu.kernels.deform_scatter import bilinear_gather, _w4_of_pairs
 
     monkeypatch.setattr(ds, "FORCE_PALLAS", force_pallas)
-    value, idx4, w_pairs, idx2, P, H, W = _make_bilinear(seed=4)
+    value, loc, w_att, H, W, P = _make_bilinear(seed=4)
 
-    def loss_custom(v, wp):
-        out = bilinear_gather(v, idx4, wp, idx2, P)
+    def loss_custom(v, l, wa):
+        idx4, w_pairs, idx2 = _bilinear_parts(v, l, wa, H, W)
+        out = bilinear_gather(v, idx4, w_pairs, idx2, P)
         return jnp.sum(jnp.sin(out) * jnp.cos(out * 0.5))
 
-    def loss_ref(v, wp):
-        out = _gather_fwd_impl(v, idx4, _w4_of_pairs(wp), P * 4)
+    def loss_ref(v, l, wa):
+        idx4, w_pairs, _ = _bilinear_parts(v, l, wa, H, W)
+        out = _gather_fwd_impl(v, idx4, _w4_of_pairs(w_pairs), P * 4)
         return jnp.sum(jnp.sin(out) * jnp.cos(out * 0.5))
 
-    gv, gw = jax.grad(loss_custom, argnums=(0, 1))(value, w_pairs)
-    rv, rw = jax.grad(loss_ref, argnums=(0, 1))(value, w_pairs)
+    gv, gl, ga = jax.grad(loss_custom, argnums=(0, 1, 2))(value, loc, w_att)
+    rv, rl, ra = jax.grad(loss_ref, argnums=(0, 1, 2))(value, loc, w_att)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(rl), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-5, atol=1e-5)

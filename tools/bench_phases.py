@@ -35,8 +35,11 @@ B, M, NC, SZ = 4, 300, 10, 640
 K = 8
 
 
-def build(dtype=jnp.float32):
-    model = TAMTRModel.from_yaml("tamtr.yaml", nc=NC, max_gt=M, remat=True, dtype=dtype)
+def build(dtype=jnp.float32, remat_min_elems=0):
+    model = TAMTRModel.from_yaml(
+        "tamtr.yaml", nc=NC, max_gt=M, remat=True, dtype=dtype,
+        remat_min_elems=remat_min_elems,
+    )
     cfg = TrainConfig(batch_size=B, warmup_iters=100, epochs=10, accumulate=1)
     state, tx = create_train_state(
         model, jax.random.PRNGKey(0), cfg, (B, SZ, SZ, 3), NC,
@@ -78,12 +81,16 @@ def main():
     if "--bf16" in args:
         args.remove("--bf16")
         dtype = jnp.bfloat16
+    remat_min = 0
     for a in list(args):
         if a.startswith("--batch="):
             B = int(a.split("=")[1])
             args.remove(a)
+        elif a.startswith("--remat-min="):
+            remat_min = int(a.split("=")[1])
+            args.remove(a)
     phases = args or ["eval_fwd", "train_fwd", "grad", "full"]
-    model, cfg, state, tx, batch = build(dtype)
+    model, cfg, state, tx, batch = build(dtype, remat_min)
     targets = {"cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
     variables = {"params": state.params_tree(), "batch_stats": state.batch_stats}
     loss_cfg = DETRLossConfig(nc=NC)
