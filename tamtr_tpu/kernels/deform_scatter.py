@@ -169,17 +169,29 @@ weighted_gather.defvjp(_fwd, _bwd)
 _ROW_PAD = 8  # spare accumulator rows; >= 1 needed, 8 keeps fp32 tiling
 
 
-def _gather_pairs_kernel(idx_ref, wa_ref, wb_ref, value_ref, out_ref, *, pairs_per_q: int):
+def _gather_pairs_kernel(
+    idx_ref, wa_ref, wb_ref, value_ref, out_ref, *scratch, pairs_per_q: int
+):
     """One grid step g (= b*nh + h). idx/wa/wb (1, nU2) SMEM; value (L2, c)
     VMEM (zero-padded with _ROW_PAD spare rows so the bottom-right pair's
     second row reads scratch); out (Q, c) VMEM. Query q accumulates its
-    pairs_per_q = P*2 corner pairs in registers and stores once."""
+    pairs_per_q = P*2 corner pairs in registers and stores once.
+
+    bf16 value blocks ride HBM half-width but Mosaic can't prove alignment
+    for dynamic 2-row loads from a bf16 (16, 128)-tiled ref — so non-f32
+    blocks are widened ONCE into an f32 VMEM scratch (one vectorized pass)
+    and the dynamic row loads read the scratch."""
+    if scratch:
+        scratch[0][...] = value_ref[...].astype(jnp.float32)
+        rows_ref = scratch[0]
+    else:
+        rows_ref = value_ref
 
     def body(q, _):
         acc = jnp.zeros((1, out_ref.shape[1]), jnp.float32)
         for j in range(pairs_per_q):  # static unroll
             u = q * pairs_per_q + j
-            rows = value_ref[pl.ds(idx_ref[0, u], 2), :]  # (2, c)
+            rows = rows_ref[pl.ds(idx_ref[0, u], 2), :]  # (2, c) f32
             acc = acc + rows[0:1] * wa_ref[0, u] + rows[1:2] * wb_ref[0, u]
         out_ref[pl.ds(q, 1), :] = acc
         return 0
@@ -188,11 +200,12 @@ def _gather_pairs_kernel(idx_ref, wa_ref, wb_ref, value_ref, out_ref, *, pairs_p
 
 
 def _gather_acc_pairs(idx2, wa, wb, value_pad, Q: int):
-    """idx2/wa/wb (G, nU2); value_pad (G, L2, c) f32 (L2 includes _ROW_PAD
-    zero rows) -> (G, Q, c) f32; nU2 = Q * pairs_per_q."""
+    """idx2/wa/wb (G, nU2); value_pad (G, L2, c) any float dtype (L2 includes
+    _ROW_PAD zero rows) -> (G, Q, c) f32; nU2 = Q * pairs_per_q."""
     G, nU2 = idx2.shape
     _, L2, c = value_pad.shape
     smem = pl.BlockSpec((None, 1, nU2), lambda g: (g, 0, 0), memory_space=pltpu.SMEM)
+    widen = value_pad.dtype != jnp.float32
     return pl.pallas_call(
         functools.partial(_gather_pairs_kernel, pairs_per_q=nU2 // Q),
         grid=(G,),
@@ -204,40 +217,54 @@ def _gather_acc_pairs(idx2, wa, wb, value_pad, Q: int):
         ],
         out_specs=pl.BlockSpec((None, Q, c), lambda g: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((G, Q, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((L2, c), jnp.float32)] if widen else [],
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(idx2[:, None], wa[:, None], wb[:, None], value_pad)
 
 
 def _scatter_dw_pairs_kernel(
-    idx_ref, wa_ref, wb_ref, value_ref, dout_ref, acc_ref, dw_ref, *, pairs_per_q: int
+    idx_ref, wa_ref, wb_ref, value_ref, dout_ref, acc_ref, dw_ref, acc32_ref,
+    *scratch, pairs_per_q: int,
 ):
     """Fused backward: one grid step g. idx/wa/wb (1, nU2) SMEM; value
     (L2, c) and dout (Q, c) VMEM. Outputs: acc (L2, c) scatter-accumulated
-    dvalue rows, dw (nU2, 2) per-pair value·dout dots. The dout row is
-    loaded once per query and shared by its pairs_per_q updates."""
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    dvalue rows (value dtype — bf16 halves the HBM result), dw (nU2, 2)
+    per-pair value·dout dots. Accumulation runs in the f32 VMEM acc32
+    scratch and rounds ONCE at the final store, so a bf16 acc equals the
+    f32 result rounded. bf16 value blocks are widened once into a second
+    f32 scratch for the dynamic row loads (Mosaic alignment — see
+    `_gather_pairs_kernel`). The dout row is loaded once per query and
+    shared by its pairs_per_q updates."""
+    acc32_ref[...] = jnp.zeros_like(acc32_ref)
+    if scratch:
+        scratch[0][...] = value_ref[...].astype(jnp.float32)
+        rows_ref = scratch[0]
+    else:
+        rows_ref = value_ref
 
     def body(q, _):
-        drow = dout_ref[pl.ds(q, 1), :]  # (1, c)
+        drow = dout_ref[pl.ds(q, 1), :]  # (1, c) f32
         for j in range(pairs_per_q):  # static unroll
             u = q * pairs_per_q + j
             i = idx_ref[0, u]
-            rows = value_ref[pl.ds(i, 2), :]  # (2, c)
+            rows = rows_ref[pl.ds(i, 2), :]  # (2, c) f32
             upd = jnp.concatenate([drow * wa_ref[0, u], drow * wb_ref[0, u]], axis=0)
-            acc_ref[pl.ds(i, 2), :] += upd
+            acc32_ref[pl.ds(i, 2), :] += upd
             dw_ref[pl.ds(u, 1), :] = jnp.sum(rows * drow, axis=1).reshape(1, 2)
         return 0
 
     jax.lax.fori_loop(0, dout_ref.shape[0], body, 0)
+    acc_ref[...] = acc32_ref[...].astype(acc_ref.dtype)
 
 
 def _scatter_dw_acc_pairs(idx2, wa, wb, value_pad, dout):
-    """idx2/wa/wb (G, nU2); value_pad (G, L2, c) f32; dout (G, Q, c) f32
-    -> (acc (G, L2, c), dw (G, nU2, 2)) f32."""
+    """idx2/wa/wb (G, nU2); value_pad (G, L2, c) float; dout (G, Q, c) f32
+    -> (acc (G, L2, c) in value dtype, dw (G, nU2, 2) f32)."""
     G, nU2 = idx2.shape
     _, L2, c = value_pad.shape
     _, Q, _ = dout.shape
+    widen = value_pad.dtype != jnp.float32
     smem = pl.BlockSpec((None, 1, nU2), lambda g: (g, 0, 0), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         functools.partial(_scatter_dw_pairs_kernel, pairs_per_q=nU2 // Q),
@@ -254,9 +281,12 @@ def _scatter_dw_acc_pairs(idx2, wa, wb, value_pad, dout):
             pl.BlockSpec((None, nU2, 2), lambda g: (g, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((G, L2, c), jnp.float32),
+            jax.ShapeDtypeStruct((G, L2, c), value_pad.dtype),
             jax.ShapeDtypeStruct((G, nU2, 2), jnp.float32),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((L2, c), jnp.float32)] * (2 if widen else 1)
+        ),
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(idx2[:, None], wa[:, None], wb[:, None], value_pad, dout)
@@ -336,10 +366,13 @@ def _pairs_to_grid(x, G, nU2):
 
 
 def _value_pad_grid(value):
-    """(B, L, nh, c) -> (B*nh, L + _ROW_PAD, c) f32, zero spare rows."""
+    """(B, L, nh, c) -> (B*nh, L + _ROW_PAD, c), zero spare rows. Keeps the
+    model dtype: at 640px b8 the f32 copy alone was 550 MB per decoder layer
+    and tipped the bf16 b8 train step over HBM; the kernels upcast rows
+    in-register instead."""
     B, L, nh, c = value.shape
-    v = value.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B * nh, L, c)
-    return jnp.concatenate([v, jnp.zeros((B * nh, _ROW_PAD, c), jnp.float32)], axis=1)
+    v = value.transpose(0, 2, 1, 3).reshape(B * nh, L, c)
+    return jnp.concatenate([v, jnp.zeros((B * nh, _ROW_PAD, c), value.dtype)], axis=1)
 
 
 def _bilinear_fwd_impl(value, idx4, w_pairs, idx2, P):

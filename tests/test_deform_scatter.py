@@ -156,3 +156,32 @@ def test_bilinear_backward_matches_autodiff(force_pallas, monkeypatch):
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gl), np.asarray(rl), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_bf16_value_pallas(monkeypatch):
+    """bf16 value through the Pallas pair kernels: the padded copy and the
+    dvalue result stay bf16 (HBM halving), accumulation runs in f32 scratch
+    — outputs/grads must match the fp32 path to bf16 rounding."""
+    from tamtr_tpu.kernels.deform_scatter import bilinear_gather
+
+    monkeypatch.setattr(ds, "FORCE_PALLAS", True)
+    value, loc, w_att, H, W, P = _make_bilinear(seed=5)
+    v16 = value.astype(jnp.bfloat16)
+
+    def loss(v):
+        idx4, w_pairs, idx2 = _bilinear_parts(v.astype(jnp.float32), loc, w_att, H, W)
+        out = bilinear_gather(v, idx4, w_pairs, idx2, P)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    out16 = bilinear_gather(v16, *_bilinear_parts(value, loc, w_att, H, W), P)
+    assert out16.dtype == jnp.bfloat16
+    ref = bilinear_gather(value, *_bilinear_parts(value, loc, w_att, H, W), P)
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+    g16 = jax.grad(loss)(v16)
+    assert g16.dtype == jnp.bfloat16
+    g32 = jax.grad(loss)(value)
+    np.testing.assert_allclose(
+        np.asarray(g16, np.float32), np.asarray(g32), rtol=3e-2, atol=3e-2
+    )
