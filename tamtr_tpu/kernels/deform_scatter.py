@@ -224,24 +224,30 @@ def _gather_acc_pairs(idx2, wa, wb, value_pad, Q: int):
 
 
 def _scatter_dw_pairs_kernel(
-    idx_ref, wa_ref, wb_ref, value_ref, dout_ref, acc_ref, dw_ref, acc32_ref,
+    idx_ref, wa_ref, wb_ref, value_ref, dout_ref, acc_ref, dw_ref,
     *scratch, pairs_per_q: int,
 ):
     """Fused backward: one grid step g. idx/wa/wb (1, nU2) SMEM; value
     (L2, c) and dout (Q, c) VMEM. Outputs: acc (L2, c) scatter-accumulated
     dvalue rows (value dtype — bf16 halves the HBM result), dw (nU2, 2)
-    per-pair value·dout dots. Accumulation runs in the f32 VMEM acc32
-    scratch and rounds ONCE at the final store, so a bf16 acc equals the
-    f32 result rounded. bf16 value blocks are widened once into a second
-    f32 scratch for the dynamic row loads (Mosaic alignment — see
-    `_gather_pairs_kernel`). The dout row is loaded once per query and
-    shared by its pairs_per_q updates."""
-    acc32_ref[...] = jnp.zeros_like(acc32_ref)
+    per-pair value·dout dots.
+
+    f32 value: accumulate straight into acc_ref, no scratch (the two extra
+    (L2, c) f32 scratches tipped the level-0 block past the 64 MB scoped
+    VMEM cap at b4 f32). bf16 value: the block is widened ONCE into an f32
+    scratch for the dynamic row loads (Mosaic can't prove alignment for
+    2-row dynamic loads from a bf16-tiled ref) and accumulation runs in a
+    second f32 scratch that rounds ONCE at the final store, so the bf16 acc
+    equals the f32 result rounded. The dout row is loaded once per query
+    and shared by its pairs_per_q updates."""
     if scratch:
-        scratch[0][...] = value_ref[...].astype(jnp.float32)
-        rows_ref = scratch[0]
+        rows32_ref, acc32_ref = scratch
+        rows32_ref[...] = value_ref[...].astype(jnp.float32)
+        rows_ref = rows32_ref
     else:
         rows_ref = value_ref
+        acc32_ref = acc_ref
+    acc32_ref[...] = jnp.zeros_like(acc32_ref)
 
     def body(q, _):
         drow = dout_ref[pl.ds(q, 1), :]  # (1, c) f32
@@ -255,7 +261,8 @@ def _scatter_dw_pairs_kernel(
         return 0
 
     jax.lax.fori_loop(0, dout_ref.shape[0], body, 0)
-    acc_ref[...] = acc32_ref[...].astype(acc_ref.dtype)
+    if scratch:
+        acc_ref[...] = acc32_ref[...].astype(acc_ref.dtype)
 
 
 def _scatter_dw_acc_pairs(idx2, wa, wb, value_pad, dout):
@@ -285,7 +292,7 @@ def _scatter_dw_acc_pairs(idx2, wa, wb, value_pad, dout):
             jax.ShapeDtypeStruct((G, nU2, 2), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((L2, c), jnp.float32)] * (2 if widen else 1)
+            [pltpu.VMEM((L2, c), jnp.float32)] * 2 if widen else []
         ),
         compiler_params=_compiler_params(),
         interpret=_interpret(),
