@@ -36,7 +36,9 @@ class Config:
     imgsz: int = 640
     save: bool = True
     save_period: int = -1
-    cache: bool = False
+    cache: Union[bool, str] = False  # False | True/"ram" | "disk" decoded-image cache
+    tracker: str = "bytetrack"  # track mode: bytetrack | botsort
+    stream_buffer: bool = False  # buffer all stream frames vs newest-only
     device: Optional[str] = None
     workers: int = 8
     project: Optional[str] = None

@@ -423,12 +423,14 @@ def random_hsv(
     """HSV jitter via LUTs (`augment.py:569-610`)."""
     if hgain or sgain or vgain:
         r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
-        hue, sat, val = cv2.split(cv2.cvtColor(sample.img, cv2.COLOR_BGR2HSV))
         x = np.arange(0, 256, dtype=r.dtype)
-        lut_hue = ((x * r[0]) % 180).astype(np.uint8)
-        lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
-        lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
-        img = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+        # one 3-channel LUT call (same math as the reference's per-channel
+        # split/LUT/merge, `augment.py:569-610`, without the extra copies)
+        lut = np.empty((1, 256, 3), np.uint8)
+        lut[0, :, 0] = (x * r[0]) % 180
+        lut[0, :, 1] = np.clip(x * r[1], 0, 255)
+        lut[0, :, 2] = np.clip(x * r[2], 0, 255)
+        img = cv2.LUT(cv2.cvtColor(sample.img, cv2.COLOR_BGR2HSV), lut)
         img = cv2.cvtColor(img, cv2.COLOR_HSV2BGR)
         return Sample(img, sample.boxes, sample.cls, sample.segments,
                       sample.keypoints, sample.texts)
@@ -443,15 +445,17 @@ def random_flip(
     segs = None if sample.segments is None else [p.copy() for p in sample.segments]
     kpts = None if sample.keypoints is None else sample.keypoints.copy()
     h, w = img.shape[:2]
+    # cv2.flip writes a contiguous output directly — numpy flip views force
+    # a slow strided ascontiguousarray copy downstream
     if flipud and rng.random() < flipud:
-        img = np.flipud(img)
+        img = cv2.flip(img, 0)
         boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
         if segs is not None:
             segs = [np.stack([p[:, 0], h - p[:, 1]], -1) for p in segs]
         if kpts is not None:
             kpts[..., 1] = h - kpts[..., 1]
     if fliplr and rng.random() < fliplr:
-        img = np.fliplr(img)
+        img = cv2.flip(img, 1)
         boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
         if segs is not None:
             segs = [np.stack([w - p[:, 0], p[:, 1]], -1) for p in segs]

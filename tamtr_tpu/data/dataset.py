@@ -79,6 +79,7 @@ class DetectionDataset:
         kpt_shape: Tuple[int, int] = (17, 3),
         class_texts: Optional[Sequence[Sequence[str]]] = None,
         random_text: bool = False,
+        cache: "bool | str" = False,
     ) -> None:
         self.imgsz = imgsz
         self.augment = augment
@@ -96,6 +97,34 @@ class DetectionDataset:
         self.labels = self._load_labels(cache_labels)
         self._rng = np.random.default_rng(seed)
         self._mosaic_on = self.aug.mosaic > 0
+        # decoded-image cache (reference `BaseDataset.load_image` cache=ram|disk,
+        # `data/base.py:144-220` incl. the RAM-fit check): JPEG decode is the
+        # hottest host-pipeline stage (~26 ms/640px image) — cache the decoded
+        # uint8 array in RAM, or as .npy next to the image for disk cache.
+        self.cache = {True: "ram", False: ""}.get(cache, str(cache or "").lower())
+        self._im_cache: Dict[int, np.ndarray] = {}
+        if self.cache == "ram" and not self._check_cache_ram():
+            import logging
+
+            logging.getLogger("tamtr").warning(
+                "cache=ram needs more free memory than available; caching disabled"
+            )
+            self.cache = ""
+
+    def _check_cache_ram(self, safety: float = 1.3) -> bool:
+        """Estimated decoded-set size must fit in ~70% of free RAM
+        (reference `check_cache_ram`, `data/base.py:203-220`)."""
+        import cv2
+
+        sample = cv2.imread(self.im_files[0])
+        if sample is None:
+            return False
+        need = sample.nbytes * len(self.im_files) * safety
+        try:
+            avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        except (ValueError, OSError):
+            return False
+        return need < 0.7 * avail
 
     @staticmethod
     def _glob_images(src) -> List[str]:
@@ -195,10 +224,40 @@ class DetectionDataset:
     def __len__(self) -> int:
         return len(self.im_files)
 
-    def _read(self, i: int) -> A.Sample:
+    def _decode(self, i: int) -> np.ndarray:
+        """Decoded BGR uint8 image, through the ram/disk cache if enabled.
+
+        The cached array is shared across calls — every downstream
+        augmentation writes to a fresh output (cv2 resize/warp/cvtColor,
+        mosaic canvas), never in place.
+        """
         import cv2
 
-        img = cv2.imread(self.im_files[i])
+        if self.cache == "ram":
+            img = self._im_cache.get(i)
+            if img is None:
+                img = cv2.imread(self.im_files[i])
+                if img is not None:
+                    self._im_cache[i] = img  # dict set is atomic under the GIL
+            return img
+        if self.cache == "disk":
+            npy = Path(self.im_files[i]).with_suffix(".npy")
+            if npy.exists():
+                try:
+                    return np.load(npy, mmap_mode="r")
+                except Exception:
+                    pass
+            img = cv2.imread(self.im_files[i])
+            if img is not None:
+                try:
+                    np.save(npy, img)
+                except OSError:
+                    pass
+            return img
+        return cv2.imread(self.im_files[i])
+
+    def _read(self, i: int) -> A.Sample:
+        img = self._decode(i)
         if img is None:
             raise FileNotFoundError(self.im_files[i])
         h, w = img.shape[:2]
@@ -309,8 +368,14 @@ def collate(
     segment task adds "masks" (B, M, imgsz/mask_ratio, imgsz/mask_ratio)
     rasterized from polygons; pose adds "keypoints" (B, M, nk, kdim) pixels.
     """
+    import cv2
+
     B = len(samples)
-    img = np.stack([s.img[..., ::-1] for s in samples]).astype(np.uint8)  # BGR->RGB
+    # BGR->RGB straight into the batch array: cv2.cvtColor's SIMD swap is
+    # ~10x the numpy strided copy a stack of `img[..., ::-1]` views costs
+    img = np.empty((B,) + samples[0].img.shape, np.uint8)
+    for b, s in enumerate(samples):
+        cv2.cvtColor(s.img, cv2.COLOR_BGR2RGB, dst=img[b])
     cls = np.zeros((B, max_gt), np.int32)
     boxes = np.zeros((B, max_gt, 4), np.float32)
     mask = np.zeros((B, max_gt), bool)

@@ -18,9 +18,16 @@ VID_EXTS = {".avi", ".mp4", ".mkv", ".mov", ".wmv", ".m4v", ".mpg", ".mpeg", ".w
 
 
 def load_inference_source(
-    source: Any, vid_stride: int = 1
+    source: Any, vid_stride: int = 1, stream_buffer: bool = True
 ) -> Generator[Tuple[str, np.ndarray], None, None]:
-    """Yield (name, frame_bgr) for images, dirs, videos, webcams, arrays."""
+    """Yield (name, frame_bgr) for images, dirs, videos, webcams, arrays.
+
+    stream_buffer (webcam/stream sources only, reference
+    `cfg/default.yaml:63` + `LoadStreams.__init__` buffer arg): True keeps
+    every frame (offline processing); False serves only the NEWEST frame —
+    a reader thread drains the device while inference runs, so a slow model
+    stays real-time instead of falling behind the capture rate.
+    """
     import cv2
 
     if isinstance(source, np.ndarray):
@@ -28,22 +35,25 @@ def load_inference_source(
         return
     if isinstance(source, (list, tuple)):
         for s in source:
-            yield from load_inference_source(s, vid_stride)
+            yield from load_inference_source(s, vid_stride, stream_buffer)
         return
     if isinstance(source, int) or (isinstance(source, str) and source.isdigit()):
         # webcam / stream index
         cap = cv2.VideoCapture(int(source))
-        i = 0
-        try:
-            while cap.isOpened():
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                if i % vid_stride == 0:
-                    yield f"stream{source}_{i}", frame
-                i += 1
-        finally:
-            cap.release()
+        if stream_buffer:
+            i = 0
+            try:
+                while cap.isOpened():
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    if i % vid_stride == 0:
+                        yield f"stream{source}_{i}", frame
+                    i += 1
+            finally:
+                cap.release()
+            return
+        yield from _stream_newest(cap, f"stream{source}", vid_stride)
         return
 
     if isinstance(source, str) and source.split()[0:1] == ["screen"]:
@@ -78,6 +88,49 @@ def load_inference_source(
     if img is None:
         raise FileNotFoundError(f"cannot read source {source}")
     yield str(p), img
+
+
+def _stream_newest(
+    cap, name: str, vid_stride: int = 1
+) -> Generator[Tuple[str, np.ndarray], None, None]:
+    """Newest-frame-only stream drain (reference `LoadStreams` buffer=False):
+    a daemon thread reads the device continuously into a one-slot mailbox;
+    the consumer gets the most recent frame and stale frames are dropped."""
+    import threading
+    import time
+
+    box: dict = {}
+    done = threading.Event()
+
+    def reader() -> None:
+        i = 0
+        try:
+            while not done.is_set() and cap.isOpened():
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if i % vid_stride == 0:
+                    box["frame"] = (i, frame)  # one-slot: overwrites stale
+                i += 1
+        finally:
+            done.set()
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = box.pop("frame", None)
+            if item is None:
+                if done.is_set():
+                    break
+                time.sleep(0.002)
+                continue
+            i, frame = item
+            yield f"{name}_{i}", frame
+    finally:
+        done.set()
+        t.join(timeout=1.0)
+        cap.release()
 
 
 def load_screenshots(

@@ -172,6 +172,7 @@ class Engine:
             task=task,
             class_texts=[str(n).split("/") for n in self.names],
             random_text=probe_model.uses_text,
+            cache=cfg.cache,
         )
         loader = build_loader(
             train_ds, cfg.batch, max_gt=cfg.max_gt, seed=cfg.seed, workers=cfg.workers,
@@ -262,7 +263,9 @@ class Engine:
             n_steps = 0
             for batch in loader:
                 host_batch = {
-                    "img": batch["img"].astype(np.float32) / 255.0,
+                    # uint8 straight to device (the step normalizes on-chip:
+                    # 4x less host CPU + host->device bytes than f32/255 here)
+                    "img": batch["img"],
                     # per-image sampled texts (RandomLoadText) when present,
                     # else the static class table
                     "txt_feats": (
@@ -600,14 +603,17 @@ class Engine:
             )
         return out
 
-    def export(self, fmt: str = "orbax", out_dir: str = "runs/export", imgsz: int = 640):
-        """Export trained (EMA) weights (reference `Exporter`)."""
+    def export(self, fmt: str = "orbax", out_dir: str = "runs/export", imgsz: int = 640,
+               half: bool = False, int8: bool = False, calib=None):
+        """Export trained (EMA) weights (reference `Exporter`; half/int8 are
+        the reference format-matrix quantization flags)."""
         from tamtr_tpu.engine.exporter import export_model
 
         assert self.model is not None and self.state is not None
         variables = self._variables_from(self.state)
         return export_model(
-            self.model, variables, imgsz, len(self.names) or self.model.nc, out_dir, fmt
+            self.model, variables, imgsz, len(self.names) or self.model.nc, out_dir, fmt,
+            half=half, int8=int8, calib=calib,
         )
 
     # -------------------------------------------------------------------- val
@@ -1000,7 +1006,7 @@ class Engine:
         eval_step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
         txt = jnp.asarray(self.txt_feats[None])
         results = []
-        for name, frame in load_inference_source(source, cfg.vid_stride):
+        for name, frame in load_inference_source(source, cfg.vid_stride, cfg.stream_buffer):
             oh, ow = frame.shape[:2]
             img = cv2.resize(frame, (cfg.imgsz, cfg.imgsz))[..., ::-1].astype(np.float32) / 255.0
             boxes, scores, labels, valid, *_ = jax.device_get(

@@ -437,7 +437,8 @@ def make_train_step(
 ) -> Callable:
     """Build the jittable train step: (state, batch, rng) -> (state, metrics).
 
-    `batch`: img (B,H,W,3) f32 in [0,1]; txt_feats (B,K,512);
+    `batch`: img (B,H,W,3) f32 in [0,1] or uint8 (normalized on device);
+    txt_feats (B,K,512);
     cls (B,M) int32; bboxes (B,M,4) normalized cxcywh; mask (B,M) bool.
     `loss_callable(outputs, targets) -> (loss, items)` defaults to the
     RT-DETR detection loss; the YOLO task passes `v8_detection_loss`.
@@ -474,10 +475,17 @@ def make_train_step(
         k_cdn, k_drop = jax.random.split(jax.random.fold_in(rng, state.step), 2)
         unravel = state.unravel
 
+        # accept uint8 images and normalize on device: the host-side
+        # `astype(float32)/255` costs ~4x the bytes in host CPU time AND
+        # host->device transfer (the loader ships uint8)
+        img = batch["img"]
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+
         def loss_fn(params):
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["img"],
+                img,
                 batch["txt_feats"],
                 targets,
                 True,

@@ -228,3 +228,88 @@ def test_segment_flip_consistency(tmp_path, rng):
     )
     out = random_flip(s, np.random.default_rng(0), fliplr=1.0, flipud=0.0)
     np.testing.assert_allclose(out.segments[0][:, 0], 40 - poly[:, 0])
+
+
+def test_image_cache_ram_and_disk(synth_dataset):
+    """Decoded-image cache (reference `load_image` cache=ram|disk): identical
+    samples with and without the cache, .npy artifacts for disk mode."""
+    base = DetectionDataset(synth_dataset / "images", imgsz=160)
+    ram = DetectionDataset(synth_dataset / "images", imgsz=160, cache="ram")
+    disk = DetectionDataset(synth_dataset / "images", imgsz=160, cache="disk")
+    for i in (0, 3):
+        a = base.get(i)
+        np.testing.assert_array_equal(a.img, ram.get(i).img)  # fills cache
+        np.testing.assert_array_equal(a.img, ram.get(i).img)  # serves from it
+        np.testing.assert_array_equal(a.img, disk.get(i).img)
+        np.testing.assert_array_equal(a.img, disk.get(i).img)
+        np.testing.assert_allclose(a.boxes, ram.get(i).boxes)
+    assert len(ram._im_cache) == 2
+    npys = list((synth_dataset / "images").glob("*.npy"))
+    assert len(npys) == 2
+    for f in npys:
+        f.unlink()  # don't leak into other tests' globs
+
+
+def test_collate_rgb_swap(synth_dataset):
+    """collate's cv2 BGR->RGB swap must equal the numpy channel reverse."""
+    ds = DetectionDataset(synth_dataset / "images", imgsz=160)
+    samples = [ds.get(i) for i in range(3)]
+    batch = collate(samples, max_gt=8, imgsz=160)
+    for b, s in enumerate(samples):
+        np.testing.assert_array_equal(batch["img"][b], s.img[..., ::-1])
+
+
+def test_hsv_multichannel_lut_matches_per_channel(rng):
+    """The fused 3-channel LUT must reproduce the reference split/LUT/merge."""
+    import cv2
+
+    img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    s = Sample(img, np.zeros((0, 4), np.float32), np.zeros(0, np.int64))
+    out = random_hsv(s, np.random.default_rng(7), 0.015, 0.7, 0.4)
+
+    r = np.random.default_rng(7).uniform(-1, 1, 3) * [0.015, 0.7, 0.4] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+    x = np.arange(0, 256, dtype=r.dtype)
+    ref = cv2.cvtColor(
+        cv2.merge((
+            cv2.LUT(hue, ((x * r[0]) % 180).astype(np.uint8)),
+            cv2.LUT(sat, np.clip(x * r[1], 0, 255).astype(np.uint8)),
+            cv2.LUT(val, np.clip(x * r[2], 0, 255).astype(np.uint8)),
+        )),
+        cv2.COLOR_HSV2BGR,
+    )
+    np.testing.assert_array_equal(out.img, ref)
+
+
+def test_stream_newest_drops_stale_frames():
+    """stream_buffer=False (reference LoadStreams buffer arg): a slow
+    consumer gets the newest frame, not every frame."""
+    import time
+
+    from tamtr_tpu.data.loaders import _stream_newest
+
+    class FakeCap:
+        def __init__(self, n):
+            self.n = n
+            self.i = 0
+
+        def isOpened(self):
+            return self.i < self.n
+
+        def read(self):
+            if self.i >= self.n:
+                return False, None
+            self.i += 1
+            return True, np.full((4, 4, 3), self.i, np.uint8)
+
+        def release(self):
+            pass
+
+    got = []
+    for name, frame in _stream_newest(FakeCap(200), "cam"):
+        got.append(int(frame[0, 0, 0]))
+        time.sleep(0.01)  # slow consumer
+    assert got, "no frames served"
+    assert got[-1] == 200  # final frame always seen
+    assert len(got) < 200  # stale frames were dropped
+    assert got == sorted(got)  # monotonically newer
