@@ -18,6 +18,17 @@ Formats:
 The reference's TensorRT/CoreML/ncnn/Paddle targets are GPU/mobile
 runtimes with no TPU-serving role; SavedModel is the canonical TF-serving
 format for TPU deployments and StableHLO the PJRT-portable one.
+
+Quantization flags (reference `engine/exporter.py` `half`/`int8` columns of
+the format matrix, `cfg/default.yaml` half/int8):
+- half=True  : orbax/npz cast float weights to bfloat16 (half-size
+               artifacts, the analogue of the reference's `.half()` strip);
+               tflite applies float16 post-training quantization.
+- int8=True  : tflite full-integer post-training quantization with a
+               representative dataset (pass `calib=` an iterable of
+               (img, txt) float batches — reference calibrates on dataset
+               images, `exporter.py` tflite row); float32 I/O is kept so
+               AutoBackend runs quantized artifacts unchanged.
 """
 
 from __future__ import annotations
@@ -40,9 +51,28 @@ def export_model(
     out_dir: str | Path,
     fmt: str = "orbax",
     batch: int = 1,
+    half: bool = False,
+    int8: bool = False,
+    calib=None,
 ) -> Path:
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if int8 and fmt != "tflite":
+        raise ValueError(
+            "int8 post-training quantization is a tflite-only flag "
+            f"(reference format matrix); got fmt={fmt!r}"
+        )
+    if half and fmt in ("orbax", "npz"):
+        # weight-halving analogue of the reference's `.half()` strip. orbax
+        # stores bf16 natively; npz uses numpy-native float16 (np.save cannot
+        # serialize ml_dtypes bfloat16) — AutoBackend upcasts on load.
+        half_t = jnp.bfloat16 if fmt == "orbax" else jnp.float16
+        variables = jax.tree.map(
+            lambda x: x.astype(half_t)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            variables,
+        )
     if fmt == "orbax":
         import orbax.checkpoint as ocp
 
@@ -62,6 +92,14 @@ def export_model(
         return path
     if fmt == "stablehlo":
         from jax import export as jax_export
+
+        if half:  # bf16 weight constants in the serialized program
+            variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                variables,
+            )
 
         def infer(img, txt):
             return model.apply(variables, img, txt, None, False)["pred"]
@@ -90,14 +128,24 @@ def export_model(
                     f"image); export 'savedmodel' and convert offline: {e}"
                 )
 
+        if half and fmt in ("savedmodel", "pb"):
+            # half-size artifact: bf16 weight constants (computation
+            # promotes back to f32 per JAX type rules)
+            variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                variables,
+            )
+
         def infer(img, txt):
             return model.apply(variables, img, txt, None, False)["pred"]
 
         tf_fn = tf.function(
             jax2tf.convert(infer, with_gradient=False),
             input_signature=[
-                tf.TensorSpec([batch, imgsz, imgsz, 3], tf.float32),
-                tf.TensorSpec([batch, n_text, 512], tf.float32),
+                tf.TensorSpec([batch, imgsz, imgsz, 3], tf.float32, name="img"),
+                tf.TensorSpec([batch, n_text, 512], tf.float32, name="txt"),
             ],
             autograph=False,
         )
@@ -129,8 +177,45 @@ def export_model(
             tf2onnx.convert.from_saved_model(str(sm_path), output_path=str(path))
             return path
         converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
+        if int8:
+            # full-integer post-training quantization (reference tflite row
+            # with int8=True, `engine/exporter.py`): calibrate activation
+            # ranges on representative batches; keep float32 I/O so the
+            # artifact runs through AutoBackend unchanged
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+
+            # dict-keyed samples: the converter's positional input order is
+            # NOT the signature order (the calibrator would feed the text
+            # tensor to the image input and fail op Prepare)
+            def _rep():
+                if calib is not None:
+                    for img, txt in calib:
+                        yield {
+                            "img": np.asarray(img, np.float32),
+                            "txt": np.asarray(txt, np.float32),
+                        }
+                else:  # uncalibrated fallback: random images (smoke only)
+                    rng = np.random.default_rng(0)
+                    for _ in range(8):
+                        yield {
+                            "img": rng.random((batch, imgsz, imgsz, 3), np.float32),
+                            "txt": rng.standard_normal(
+                                (batch, n_text, 512)
+                            ).astype(np.float32),
+                        }
+
+            converter.representative_dataset = _rep
+            converter.target_spec.supported_ops = [
+                tf.lite.OpsSet.TFLITE_BUILTINS_INT8,
+                tf.lite.OpsSet.TFLITE_BUILTINS,  # fall back for un-quantizable ops
+            ]
+        elif half:
+            # float16 post-training quantization (reference tflite half flag)
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+            converter.target_spec.supported_types = [tf.float16]
         tfl = converter.convert()
-        path = out_dir / "model.tflite"
+        suffix = "_int8" if int8 else "_fp16" if half else ""
+        path = out_dir / f"model{suffix}.tflite"
         path.write_bytes(tfl)
         return path
     raise ValueError(f"unknown export format {fmt!r}; valid: {FORMATS}")

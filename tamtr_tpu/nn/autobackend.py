@@ -101,7 +101,10 @@ class AutoBackend:
                 *parents, leaf = key.split("/")
                 for q in parents:
                     d = d.setdefault(q, {})
-                d[leaf] = jnp.asarray(data[key])
+                arr = data[key]
+                if arr.dtype == np.float16:  # half export: upcast at load
+                    arr = arr.astype(np.float32)
+                d[leaf] = jnp.asarray(arr)
             self.model = TAMTRModel.from_yaml(model_cfg, nc=nc)
             # variables as jit ARGUMENTS (closure-captured weight trees are
             # baked into the HLO as literal constants — bloats the program

@@ -105,3 +105,49 @@ def test_benchmark_validates_export_accuracy(trained):
         assert row.get("parity_ok"), row
         assert row["parity_maxdiff"] < 5e-3, row
         assert row.get("img_per_sec", 0) > 0, row
+
+
+def test_quantized_exports(trained):
+    """half/int8 export flags (reference format-matrix quantization columns):
+    tflite fp16 + full-int8 PTQ artifacts load through AutoBackend and stay
+    close to the native path; npz half halves the archive."""
+    m, root = trained
+    eng = m._lazy_engine()
+    img = np.random.default_rng(1).random((1, 64, 64, 3), dtype=np.float32)
+    txt = np.zeros((1, 1, 512), np.float32)
+
+    from tamtr_tpu.nn.autobackend import AutoBackend
+
+    ckpt = root / "runs" / "train" / "weights" / "last"
+    ref = AutoBackend(ckpt, imgsz=64)(img, txt)
+
+    # npz half: bf16 leaves, smaller archive, loadable, loose parity
+    npz32 = eng.export("npz", out_dir=str(root / "q_npz32"), imgsz=64)
+    npz16 = eng.export("npz", out_dir=str(root / "q_npz16"), imgsz=64, half=True)
+    assert npz16.stat().st_size < 0.75 * npz32.stat().st_size
+    out16 = AutoBackend(npz16, model_cfg="yolo-gelan.yaml", nc=1, imgsz=64)(img, txt)
+    np.testing.assert_allclose(ref, out16, atol=0.05, rtol=0.05)
+
+    # int8 is a tflite-only flag
+    with pytest.raises(ValueError):
+        eng.export("npz", out_dir=str(root / "q_bad"), imgsz=64, int8=True)
+
+    try:
+        import tensorflow  # noqa: F401
+    except ImportError:
+        pytest.skip("tensorflow not installed")
+
+    tfl16 = eng.export("tflite", out_dir=str(root / "q_tfl16"), imgsz=64, half=True)
+    out_tfl16 = AutoBackend(tfl16, imgsz=64)(img, txt)
+    np.testing.assert_allclose(ref, out_tfl16, atol=0.05, rtol=0.05)
+
+    calib = [(img, txt)]
+    tfl8 = eng.export("tflite", out_dir=str(root / "q_tfl8"), imgsz=64, int8=True,
+                      calib=calib)
+    out_tfl8 = AutoBackend(tfl8, imgsz=64)(img, txt)
+    assert out_tfl8.shape == ref.shape and np.isfinite(out_tfl8).all()
+    # int8 grids are coarse and the fixture model is barely trained, so no
+    # elementwise bar — assert the artifact actually computes (non-constant
+    # output) on the same scale as the fp32 path
+    assert out_tfl8.std() > 0
+    assert np.abs(out_tfl8).max() < 10 * max(np.abs(ref).max(), 1.0)
