@@ -41,9 +41,10 @@ class TAMTR:
         """Multi-object tracking over a video/stream (reference `Model.track`)."""
         return self._lazy_engine().track(source, tracker=tracker, persist=persist, **kwargs)
 
-    def tune(self, iterations: int = 10, **kwargs: Any):
-        """Mutation-based hyperparameter evolution over short trainings."""
-        return self._lazy_engine().tune(iterations, **kwargs)
+    def tune(self, iterations: int = 10, use_ray: bool = False, **kwargs: Any):
+        """Hyperparameter search over short trainings: mutation evolution by
+        default, Ray Tune + ASHA with use_ray=True (reference `Model.tune`)."""
+        return self._lazy_engine().tune(iterations, use_ray=use_ray, **kwargs)
 
     def export(self, fmt: str = "orbax", **kwargs: Any):
         """Export weights (orbax / savedmodel via jax2tf / tflite / npz)."""

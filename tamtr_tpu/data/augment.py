@@ -437,6 +437,95 @@ def random_hsv(
     return sample
 
 
+_albu = None  # None = not yet probed, False = package unavailable, else Compose
+
+
+def _get_albumentations():
+    """Build the reference transform list once (`augment.py:812-836`); the
+    probe result is cached module-wide (tests reset `_albu` to re-probe)."""
+    global _albu
+    if _albu is None:
+        try:
+            import albumentations as A_
+
+            T = [
+                A_.Blur(p=0.01),
+                A_.MedianBlur(p=0.01),
+                A_.ToGray(p=0.01),
+                A_.CLAHE(p=0.01),
+                A_.RandomBrightnessContrast(p=0.0),
+                A_.RandomGamma(p=0.0),
+                A_.ImageCompression(quality_lower=75, p=0.0),
+            ]
+            _albu = A_.Compose(
+                T,
+                bbox_params=A_.BboxParams(format="yolo", label_fields=["class_labels"]),
+            )
+        except Exception:  # package absent or incompatible -> permanent no-op
+            _albu = False
+    return _albu
+
+
+def albumentations_transform(
+    sample: Sample, rng: np.random.Generator, p: float = 1.0
+) -> Sample:
+    """Optional Albumentations pixel-level augs (reference `augment.py:803-855`):
+    Blur/MedianBlur/ToGray/CLAHE each at inner p=0.01 (brightness/gamma/
+    compression registered at p=0, exactly the reference list). No-op when the
+    package is not installed. Boxes convert xyxy-pixels -> normalized yolo
+    xywh for A.Compose and back; if the transform drops every box the sample
+    is left unchanged (the reference's "skip update if no bbox" branch).
+    Skipped when segments/keypoints are present — the reference carries the
+    same limitation as a TODO (`augment.py:847`) but silently desyncs them;
+    we skip instead."""
+    compose = _get_albumentations()
+    if (
+        not compose
+        or len(sample.cls) == 0
+        or sample.segments is not None
+        or sample.keypoints is not None
+        or rng.random() >= p
+    ):
+        return sample
+    h, w = sample.img.shape[:2]
+    b = sample.boxes.astype(np.float32)
+    xywh = np.stack(
+        [
+            (b[:, 0] + b[:, 2]) / 2 / w,
+            (b[:, 1] + b[:, 3]) / 2 / h,
+            (b[:, 2] - b[:, 0]) / w,
+            (b[:, 3] - b[:, 1]) / h,
+        ],
+        1,
+    )
+    new = compose(
+        image=sample.img,
+        bboxes=np.clip(xywh, 0.0, 1.0),
+        class_labels=sample.cls,
+    )
+    if len(new["class_labels"]) == 0:
+        return sample
+    nb = np.asarray(new["bboxes"], np.float32).reshape(-1, 4)
+    nh, nw = new["image"].shape[:2]
+    xyxy = np.stack(
+        [
+            (nb[:, 0] - nb[:, 2] / 2) * nw,
+            (nb[:, 1] - nb[:, 3] / 2) * nh,
+            (nb[:, 0] + nb[:, 2] / 2) * nw,
+            (nb[:, 1] + nb[:, 3] / 2) * nh,
+        ],
+        1,
+    )
+    return Sample(
+        np.ascontiguousarray(new["image"]),
+        xyxy,
+        np.asarray(new["class_labels"], sample.cls.dtype),
+        None,
+        None,
+        sample.texts,
+    )
+
+
 def random_flip(
     sample: Sample, rng: np.random.Generator, fliplr: float = 0.5, flipud: float = 0.0
 ) -> Sample:

@@ -331,6 +331,9 @@ class DetectionDataset:
                     translate=self.aug.translate,
                 )
                 smp = A.mixup(smp, other, rng)
+            # reference position: MixUp -> Albumentations -> RandomHSV
+            # (`v8_transforms`, augment.py:1040-1043); no-op unless installed
+            smp = A.albumentations_transform(smp, rng)
             smp = A.random_hsv(smp, rng, self.aug.hsv_h, self.aug.hsv_s, self.aug.hsv_v)
             smp = A.random_flip(smp, rng, self.aug.fliplr, self.aug.flipud)
             smp = self._load_text(smp, rng)

@@ -1026,7 +1026,11 @@ class Engine:
         return results
 
     def tune(
-        self, iterations: int = 10, isolate: bool = False, **overrides: Any
+        self,
+        iterations: int = 10,
+        isolate: bool = False,
+        use_ray: bool = False,
+        **overrides: Any,
     ) -> Dict[str, float]:
         """Hyperparameter evolution (reference `Model.tune`): mutate hypers,
         run short trainings, keep the fitness-best (engine/tuner.py).
@@ -1034,10 +1038,23 @@ class Engine:
         isolate=True runs each trial in its own python subprocess like the
         reference's per-iteration `subprocess.run` (`engine/tuner.py:32-224`)
         so a hard-crashed trial (OOM kill, runtime wedge) cannot take down
-        the evolution loop; crashed trials score fitness 0."""
-        from tamtr_tpu.engine.tuner import Tuner
+        the evolution loop; crashed trials score fitness 0.
+
+        use_ray=True routes to Ray Tune with an ASHA scheduler instead of
+        the evolution loop (reference `Model.tune(use_ray=True)` ->
+        `utils/tuner.py:run_ray_tune`); requires ray[tune]."""
+        from tamtr_tpu.engine.tuner import Tuner, run_ray_tune
 
         base_cfg = get_cfg(overrides=overrides)
+        if use_ray:
+            return run_ray_tune(
+                lambda hyp: Engine(self.model_cfg).train(
+                    **{**overrides, **hyp, "save": False, "plots": False}
+                ),
+                max_samples=iterations,
+                max_t=base_cfg.epochs,
+                storage_path=str(Path(base_cfg.project or "runs") / "tune"),
+            )
         tuner = Tuner(save_dir=Path(base_cfg.project or "runs") / "tune", seed=base_cfg.seed)
 
         def train_fn(hyp: Dict[str, float]) -> Dict[str, float]:

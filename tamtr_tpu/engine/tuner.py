@@ -84,3 +84,75 @@ class Tuner:
             if fit > best_fit:
                 best_fit, best_hyp = fit, hyp
         return best_hyp
+
+
+def run_ray_tune(
+    train_fn: Callable[[Dict[str, float]], Dict[str, float]],
+    space: Optional[Dict[str, Any]] = None,
+    grace_period: int = 10,
+    max_samples: int = 10,
+    metric: str = "fitness",
+    max_t: int = 100,
+    storage_path: Optional[str] = None,
+):
+    """Ray Tune hyperparameter search (reference `utils/tuner.py:9-144`).
+
+    Gated on `ray[tune]` being installed; raises ModuleNotFoundError with the
+    install hint otherwise, exactly like the reference. `train_fn(config)`
+    runs one trial and returns its metrics dict (must contain `metric`);
+    results are pushed to the Ray session so the ASHA scheduler can
+    early-stop trials. Returns the `tune.ResultGrid`.
+    """
+    try:
+        from ray import train as ray_train
+        from ray import tune
+        from ray.tune.schedulers import ASHAScheduler
+    except ImportError as e:  # pragma: no cover - exercised via fake module
+        raise ModuleNotFoundError(
+            'tune(use_ray=True) requires Ray Tune: pip install "ray[tune]"'
+        ) from e
+
+    if space is None:
+        # the reference default space (`utils/tuner.py:63-85`), minus the
+        # torch-optimizer choice row
+        space = {k: tune.uniform(lo, hi) for k, (_, lo, hi) in SPACE.items()}
+        space.update(
+            {
+                "warmup_momentum": tune.uniform(0.0, 0.95),
+                "degrees": tune.uniform(0.0, 45.0),
+                "shear": tune.uniform(0.0, 10.0),
+                "perspective": tune.uniform(0.0, 0.001),
+                "flipud": tune.uniform(0.0, 1.0),
+                "copy_paste": tune.uniform(0.0, 1.0),
+            }
+        )
+
+    def _trial(config: Dict[str, float]) -> None:
+        metrics = train_fn(config)
+        ray_train.report(
+            {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))}
+        )
+
+    scheduler = ASHAScheduler(
+        time_attr="epoch",
+        metric=metric,
+        mode="max",
+        max_t=max_t,
+        grace_period=grace_period,
+        reduction_factor=3,
+    )
+    kwargs = {}
+    if storage_path is not None:
+        try:
+            from ray.air import RunConfig
+
+            kwargs["run_config"] = RunConfig(storage_path=str(storage_path))
+        except ImportError:
+            pass
+    tuner = tune.Tuner(
+        _trial,
+        param_space=space,
+        tune_config=tune.TuneConfig(scheduler=scheduler, num_samples=max_samples),
+        **kwargs,
+    )
+    return tuner.fit()

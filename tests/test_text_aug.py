@@ -159,3 +159,82 @@ def test_mosaic_carries_segments():
     assert len(out.segments) == len(out.cls) == len(out.boxes)
     for p, b in zip(out.segments, out.boxes):
         assert p.shape[-1] == 2
+
+
+def test_albumentations_gated_noop_when_absent():
+    """Without the package installed the transform is a no-op (reference
+    `augment.py:816-836` ImportError branch)."""
+    from tamtr_tpu.data import augment as A
+
+    A._albu = None  # re-probe (albumentations is absent in this image)
+    s = A.Sample(
+        np.full((32, 32, 3), 7, np.uint8),
+        np.array([[4.0, 4.0, 20.0, 20.0]], np.float32),
+        np.array([1], np.int32),
+    )
+    out = A.albumentations_transform(s, np.random.default_rng(0))
+    assert out is s and A._albu is False
+    A._albu = None
+
+
+def test_albumentations_applies_with_fake_package(monkeypatch):
+    """With a (fake) albumentations installed: the reference transform list
+    is built, boxes round-trip xyxy-pixels <-> normalized yolo xywh, and a
+    transform that drops every box leaves the sample unchanged."""
+    import sys
+    import types
+
+    from tamtr_tpu.data import augment as A
+
+    built = {}
+
+    class _T:
+        def __init__(self, p=0.5, **kw):
+            self.p = p
+
+    class FakeCompose:
+        def __init__(self, transforms, bbox_params=None):
+            built["transforms"] = transforms
+            built["bbox_params"] = bbox_params
+            self.drop = False
+
+        def __call__(self, image, bboxes, class_labels):
+            built["bboxes_in"] = np.asarray(bboxes)
+            if self.drop:
+                return {"image": image, "bboxes": [], "class_labels": []}
+            return {
+                "image": image // 2,  # visible pixel-level change
+                "bboxes": bboxes,
+                "class_labels": class_labels,
+            }
+
+    fake = types.ModuleType("albumentations")
+    for name in ("Blur", "MedianBlur", "ToGray", "CLAHE",
+                 "RandomBrightnessContrast", "RandomGamma", "ImageCompression"):
+        setattr(fake, name, type(name, (_T,), {}))
+    fake.Compose = FakeCompose
+    fake.BboxParams = lambda **kw: kw
+    monkeypatch.setitem(sys.modules, "albumentations", fake)
+
+    A._albu = None
+    s = A.Sample(
+        np.full((40, 80, 3), 100, np.uint8),
+        np.array([[8.0, 4.0, 24.0, 16.0]], np.float32),  # xyxy pixels
+        np.array([2], np.int32),
+    )
+    out = A.albumentations_transform(s, np.random.default_rng(0))
+    # reference list: 4 active at p=0.01, 3 registered at p=0
+    assert [t.p for t in built["transforms"]] == [0.01] * 4 + [0.0] * 3
+    assert built["bbox_params"]["format"] == "yolo"
+    np.testing.assert_allclose(
+        built["bboxes_in"], [[16 / 80, 10 / 40, 16 / 80, 12 / 40]], atol=1e-6
+    )
+    assert out.img.max() == 50  # transformed image taken
+    np.testing.assert_allclose(out.boxes, s.boxes, atol=1e-4)  # round-trip
+    assert out.cls.tolist() == [2]
+
+    # drop-every-box branch: sample unchanged
+    A._albu.drop = True
+    out2 = A.albumentations_transform(s, np.random.default_rng(0))
+    assert out2 is s
+    A._albu = None

@@ -455,3 +455,85 @@ def test_append_csv_grows_columns(tmp_path):
     assert rows[2]["mAP50"] == "0.3"
     assert rows[0]["mAP50"] == "" and rows[3]["mAP50"] == ""
     assert all(None not in r for r in rows)
+
+
+def test_run_ray_tune_with_fake_ray(monkeypatch, tmp_path):
+    """run_ray_tune drives a fake ray[tune]: default space built from SPACE,
+    ASHA scheduler configured, trials report metrics through the session
+    (reference `utils/tuner.py:9-144`)."""
+    import sys
+    import types
+
+    calls = {}
+
+    ray = types.ModuleType("ray")
+    ray_train = types.ModuleType("ray.train")
+    ray_train.report = lambda metrics: calls.setdefault("reported", []).append(metrics)
+    ray_tune = types.ModuleType("ray.tune")
+    ray_tune.uniform = lambda lo, hi: ("uniform", lo, hi)
+
+    class FakeTuneConfig:
+        def __init__(self, scheduler=None, num_samples=None):
+            calls["num_samples"] = num_samples
+
+    class FakeTuner:
+        def __init__(self, trainable, param_space=None, tune_config=None, **kw):
+            calls["space"] = param_space
+            self.trainable = trainable
+
+        def fit(self):
+            # run one trial at each uniform's midpoint
+            cfg = {k: (v[1] + v[2]) / 2 for k, v in calls["space"].items()}
+            self.trainable(cfg)
+            return "result-grid"
+
+    ray_tune.Tuner = FakeTuner
+    ray_tune.TuneConfig = FakeTuneConfig
+    sched = types.ModuleType("ray.tune.schedulers")
+
+    class FakeASHA:
+        def __init__(self, **kw):
+            calls["asha"] = kw
+
+    sched.ASHAScheduler = FakeASHA
+    ray.train, ray.tune = ray_train, ray_tune
+    for name, mod in [("ray", ray), ("ray.train", ray_train),
+                      ("ray.tune", ray_tune), ("ray.tune.schedulers", sched)]:
+        monkeypatch.setitem(sys.modules, name, mod)
+    monkeypatch.setitem(sys.modules, "ray.air", None)  # RunConfig path gated
+
+    from tamtr_tpu.engine.tuner import SPACE, run_ray_tune
+
+    seen = {}
+
+    def train_fn(cfg):
+        seen.update(cfg)
+        return {"fitness": 0.42, "epoch": 1, "names": "ignored"}
+
+    out = run_ray_tune(train_fn, max_samples=3, grace_period=2, max_t=7)
+    assert out == "result-grid"
+    assert calls["num_samples"] == 3
+    assert calls["asha"]["grace_period"] == 2 and calls["asha"]["max_t"] == 7
+    assert calls["asha"]["metric"] == "fitness" and calls["asha"]["mode"] == "max"
+    for k in SPACE:  # default space covers the evolution space + extras
+        assert k in calls["space"]
+    assert "degrees" in calls["space"] and "copy_paste" in calls["space"]
+    assert seen["lrf"] == pytest.approx((0.01 + 1.0) / 2)
+    assert calls["reported"] == [{"fitness": 0.42, "epoch": 1.0}]
+
+
+def test_run_ray_tune_requires_ray(monkeypatch):
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_ray(name, *a, **k):
+        if name.startswith("ray"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_ray)
+    from tamtr_tpu.engine.tuner import run_ray_tune
+
+    with pytest.raises(ModuleNotFoundError, match="ray"):
+        run_ray_tune(lambda cfg: {"fitness": 0.0})
