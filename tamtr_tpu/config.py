@@ -179,7 +179,16 @@ def get_cfg(
             base.update(yaml.safe_load(f) or {})
     elif isinstance(cfg, dict):
         base.update(cfg)
-    for k, v in (overrides or {}).items():
+    overrides = dict(overrides or {})
+    # `cfg=custom.yaml` inside overrides: load that file's keys under the
+    # explicit overrides, exactly the reference's custom.yaml hook
+    # (`cfg/__init__.py:360-362`)
+    custom = overrides.pop("cfg", None)
+    if custom:
+        with open(custom) as f:
+            loaded = yaml.safe_load(f) or {}
+        overrides = {**{k: v for k, v in loaded.items() if k != "cfg"}, **overrides}
+    for k, v in overrides.items():
         if k not in _FIELDS:
             close = [n for n in _FIELDS if k.lower() in n.lower() or n.lower() in k.lower()]
             hint = f" (did you mean {close[0]!r}?)" if close else ""

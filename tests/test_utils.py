@@ -537,3 +537,15 @@ def test_run_ray_tune_requires_ray(monkeypatch):
 
     with pytest.raises(ModuleNotFoundError, match="ray"):
         run_ray_tune(lambda cfg: {"fitness": 0.0})
+
+
+def test_get_cfg_custom_yaml_override(tmp_path):
+    """cfg=custom.yaml loads that file's keys under explicit overrides
+    (reference `cfg/__init__.py:360-362`)."""
+    p = tmp_path / "custom.yaml"
+    p.write_text("lr0: 0.5\nbatch: 3\ncfg: ignored.yaml\n")
+    c = get_cfg(overrides={"cfg": str(p)})
+    assert c.lr0 == 0.5 and c.batch == 3
+    # explicit k=v wins over the custom yaml
+    c2 = get_cfg(overrides={"cfg": str(p), "lr0": 0.25})
+    assert c2.lr0 == 0.25 and c2.batch == 3
