@@ -682,14 +682,19 @@ class Engine:
         self._fused_cache = (key, deploy, fused)
         return deploy, fused
 
-    def _get_eval_step(self, model, conf, iou, max_det, imgsz, sharded=False):
+    def _get_eval_step(self, model, conf, iou, max_det, imgsz, sharded=False,
+                       legacy_val_mask=False):
         """Jitted eval step, cached per (conf, iou, max_det, imgsz) — a fresh
         closure per val call would retrace every epoch.
 
         sharded=True runs data-parallel over the device mesh (params
         replicated, batch axis over ICI) — the validator pads its batch to a
-        device-count multiple; predict paths (batch 1) stay unsharded."""
-        key = (id(model), conf, iou, max_det, imgsz, sharded)
+        device-count multiple; predict paths (batch 1) stay unsharded.
+
+        legacy_val_mask replicates the reference val protocol's
+        mask-after-sort conf-filter quirk (see ops/nms.py) — the validator
+        sets it so mAP numbers are protocol-identical; predict stays clean."""
+        key = (id(model), conf, iou, max_det, imgsz, sharded, legacy_val_mask)
         cache = getattr(self, "_eval_steps", None)
         if cache is None:
             cache = self._eval_steps = {}
@@ -719,7 +724,7 @@ class Engine:
                     scale = jnp.array([1.0 / imgsz] * 4 + [1.0] * (out.shape[-1] - 4))
                     out = out * scale
                 boxes, scores, labels, valid, kept = postprocess_predictions(
-                    out, conf, iou, max_det
+                    out, conf, iou, max_det, legacy_val_mask=legacy_val_mask
                 )
                 res = (boxes, scores, labels, valid)
                 if model.head_type == "Segment":
@@ -749,7 +754,8 @@ class Engine:
 
         n_dev = jax.device_count()
         eval_step = self._get_eval_step(
-            model, conf, cfg.iou, cfg.max_det, cfg.imgsz, sharded=n_dev > 1
+            model, conf, cfg.iou, cfg.max_det, cfg.imgsz, sharded=n_dev > 1,
+            legacy_val_mask=True,  # reference val protocol quirk (ops/nms.py)
         )
 
         metrics = DetMetrics()

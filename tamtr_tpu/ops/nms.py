@@ -71,19 +71,30 @@ def multiclass_nms(
     return nms(boxes + off, scores, iou_threshold, max_det)
 
 
-@partial(jax.jit, static_argnames=("max_det",))
+@partial(jax.jit, static_argnames=("max_det", "legacy_val_mask"))
 def postprocess_predictions(
     pred: jnp.ndarray,
     conf_thres: float = 0.4,
     iou_thres: float = 0.6,
     max_det: int = 300,
+    legacy_val_mask: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode the head's eval output for a batch.
 
     Mirrors `RTDETRValidator.postprocess` / `RTDETRPredictor.postprocess`
-    (`models/rtdetrworld/val.py:102-126`, `predict.py:34-78`): split
+    (`models/rtdetrworld/val.py:102-128`, `predict.py:34-78`): split
     (4, nc), boxes are normalized cxcywh (scaled by the caller), take the
     best class per box, confidence filter, then class-offset NMS.
+
+    `legacy_val_mask` replicates a quirk of the reference VAL protocol
+    (`val.py:114-119`): the conf mask is computed in ORIGINAL query order
+    but applied to the score-SORTED array, so with an active threshold the
+    kept subset is position-scrambled (row i survives iff the original row
+    at i's sort rank passed the threshold). The published 39.7 mAP@0.5 was
+    measured with conf=0.4 (`valTAMTR.py:12`), where the quirk is live —
+    the validator sets True for protocol-identical mAP; predict keeps the
+    clean semantics (the reference's own predict.py applies the mask
+    before any sort, `predict.py:66`).
 
     Args:
       pred: (B, nq, 4 + nc) — normalized cxcywh + sigmoid scores.
@@ -97,7 +108,13 @@ def postprocess_predictions(
     cls_scores = pred[..., 4:]
     scores = cls_scores.max(-1)
     labels = cls_scores.argmax(-1)
-    scores = jnp.where(scores >= conf_thres, scores, 0.0)
+    if legacy_val_mask:
+        # keep query i iff the original-order query at i's sort rank passed
+        ranks = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)
+        gate = jnp.take_along_axis(scores, ranks, axis=-1) > conf_thres
+        scores = jnp.where(gate, scores, 0.0)
+    else:
+        scores = jnp.where(scores > conf_thres, scores, 0.0)  # strict >, ref predict.py:66
 
     def per_image(b, s, l):
         keep, valid = multiclass_nms(b, s, l, iou_thres, max_det)

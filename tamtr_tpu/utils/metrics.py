@@ -65,6 +65,13 @@ def match_predictions(
 
     Pass a precomputed (Ngt, Npred) `iou` matrix (e.g. mask IoU) to match on
     something other than boxes.
+
+    Replicates the reference FORK's dedup order exactly: sort candidate
+    (gt, pred) pairs by IoU desc, dedup by prediction, then dedup by gt
+    WITHOUT re-sorting by IoU first — the fork comments out the second sort
+    (`validator.py:244`), so the gt-dedup runs in ascending-prediction-index
+    order. Mainline ultralytics re-sorts; the fork's 39.7 mAP protocol does
+    not, and this table feeds that protocol.
     """
     correct = np.zeros((len(pred_cls), len(iouv)), dtype=bool)
     if len(gt_cls) == 0 or len(pred_cls) == 0:
@@ -74,13 +81,13 @@ def match_predictions(
     correct_class = gt_cls[:, None] == pred_cls[None, :]
     iou = iou * correct_class
     for i, thr in enumerate(iouv):
-        gi, pi = np.nonzero(iou >= thr)
-        if len(gi):
-            m = np.stack([gi, pi, iou[gi, pi]], 1)
-            m = m[m[:, 2].argsort()[::-1]]
-            m = m[np.unique(m[:, 1], return_index=True)[1]]
-            m = m[m[:, 2].argsort()[::-1]]
-            m = m[np.unique(m[:, 0], return_index=True)[1]]
+        m = np.array(np.nonzero(iou >= thr)).T  # (n, 2) [gt, pred]
+        if m.shape[0]:
+            if m.shape[0] > 1:
+                m = m[iou[m[:, 0], m[:, 1]].argsort()[::-1]]
+                m = m[np.unique(m[:, 1], return_index=True)[1]]
+                # no IoU re-sort here (fork behavior, see docstring)
+                m = m[np.unique(m[:, 0], return_index=True)[1]]
             correct[m[:, 1].astype(int), i] = True
     return correct
 
@@ -95,6 +102,14 @@ def compute_ap(recall: np.ndarray, precision: np.ndarray) -> Tuple[float, np.nda
     return float(ap), mpre, mrec
 
 
+def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
+    """Box filter of fraction f (reference `smooth`, `utils/metrics.py:941`)."""
+    nf = round(len(y) * f * 2) // 2 + 1  # filter length (odd)
+    p = np.ones(nf // 2)
+    yp = np.concatenate((p * y[0], y, p * y[-1]), 0)
+    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+
+
 def ap_per_class(
     tp: np.ndarray,
     conf: np.ndarray,
@@ -102,14 +117,23 @@ def ap_per_class(
     target_cls: np.ndarray,
     eps: float = 1e-16,
 ) -> Dict[str, np.ndarray]:
-    """AP per class over all images (reference `ap_per_class`, `utils/metrics.py:1032`)."""
+    """AP per class over all images (reference `ap_per_class`, `utils/metrics.py:1032`).
+
+    P/R follow the reference semantics exactly: per-class curves are
+    interpolated onto a 1000-point confidence grid, and the reported P/R
+    are taken at the argmax of the smoothed MEAN F1 curve (one global
+    confidence threshold for all classes, `utils/metrics.py:1122-1124`) —
+    verified equal to the reference implementation by
+    `tests/test_metrics_reference_equivalence.py`.
+    """
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
     unique_classes, nt = np.unique(target_cls, return_counts=True)
     nc = len(unique_classes)
+    x = np.linspace(0, 1, 1000)
     ap = np.zeros((nc, tp.shape[1]))
-    p = np.zeros(nc)
-    r = np.zeros(nc)
+    p_curve = np.zeros((nc, 1000))
+    r_curve = np.zeros((nc, 1000))
     for ci, c in enumerate(unique_classes):
         sel = pred_cls == c
         n_l = nt[ci]
@@ -120,19 +144,19 @@ def ap_per_class(
         tpc = tp[sel].cumsum(0)
         recall = tpc / (n_l + eps)
         precision = tpc / (tpc + fpc)
+        # negated x/xp because np.interp needs increasing xp (conf descends)
+        r_curve[ci] = np.interp(-x, -conf[sel], recall[:, 0], left=0)
+        p_curve[ci] = np.interp(-x, -conf[sel], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
             ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
-        # P/R at max-F1 confidence of the 0.5-IoU curve
-        f1 = 2 * precision[:, 0] * recall[:, 0] / (precision[:, 0] + recall[:, 0] + eps)
-        k = int(f1.argmax()) if len(f1) else 0
-        p[ci] = precision[k, 0]
-        r[ci] = recall[k, 0]
+    f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
+    k = int(smooth(f1_curve.mean(0), 0.1).argmax()) if nc else 0
     return {
         "classes": unique_classes,
         "ap": ap,  # (nc, 10)
         "ap50": ap[:, 0],
-        "precision": p,
-        "recall": r,
+        "precision": p_curve[:, k] if nc else np.zeros(0),
+        "recall": r_curve[:, k] if nc else np.zeros(0),
     }
 
 
