@@ -374,7 +374,7 @@ class Engine:
                 plot_results(csv_path)
             except Exception:
                 pass
-        self.callbacks.fire("on_train_end", self)
+        self.callbacks.fire("on_train_end", self, metrics_out, run_dir)
         self.callbacks.fire("teardown", self)
         return metrics_out
 
@@ -745,6 +745,7 @@ class Engine:
         return cache[key]
 
     def _validate(self, model, state, data, cfg: Config, use_ema: bool = True) -> Dict[str, float]:
+        self.callbacks.fire("on_val_start", self)
         split_dir = data.get(cfg.split) or data.get("val")
         task = {"Segment": "segment", "Pose": "pose"}.get(model.head_type, "detect")
         ds = DetectionDataset(split_dir, imgsz=cfg.imgsz, augment=False, task=task)
@@ -896,6 +897,7 @@ class Engine:
             f"val: mAP50={res['mAP50']:.4f} mAP50-95={res['mAP50-95']:.4f} "
             f"P={res['precision']:.4f} R={res['recall']:.4f} ({res['images_per_sec']:.1f} img/s)"
         )
+        self.callbacks.fire("on_val_end", self, res)
         return res
 
     # ---------------------------------------------------------------- predict

@@ -61,14 +61,22 @@ def _solve_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("max_rounds",))
 def auction_match(
-    cost: jnp.ndarray, gt_mask: jnp.ndarray, max_rounds: int = 300
+    cost: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    max_rounds: int = 300,
+    row_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """On-device rectangular assignment via Jacobi (all-at-once) auction.
 
+    Feasibility requires #bidders (valid columns) <= #objects (valid rows);
+    `hungarian_match` transposes over-full images so this always holds.
+
     Args:
       cost: (B, nq, M) assignment cost (query x gt), minimized.
-      gt_mask: (B, M) validity of gt columns.
+      gt_mask: (B, M) validity of gt columns (the bidders).
       max_rounds: hard iteration cap for the while_loop.
+      row_mask: optional (B, nq) validity of rows (the objects bid FOR) —
+        used by the transposed over-full solve where padded gts are rows.
     Returns:
       (B, M) int32 query index assigned to each valid gt (-1 if none).
     """
@@ -76,8 +84,15 @@ def auction_match(
     value = -cost.astype(jnp.float32)  # persons = gts maximize value
     neg = jnp.float32(-1e9)
     value = jnp.where(gt_mask[:, None, :], value, neg)
+    if row_mask is not None:
+        value = jnp.where(row_mask[:, :, None], value, neg)
+        pair_ok = gt_mask[:, None, :] & row_mask[:, :, None]
+        avail = row_mask.sum(axis=1).astype(jnp.int32)  # (B,)
+    else:
+        pair_ok = jnp.broadcast_to(gt_mask[:, None, :], value.shape)
+        avail = jnp.full((B,), nq, jnp.int32)
 
-    masked = jnp.where(gt_mask[:, None, :], value, 0.0)
+    masked = jnp.where(pair_ok, value, 0.0)
     spread = jnp.maximum(
         masked.max(axis=(1, 2)) - masked.min(axis=(1, 2)), 1.0
     )  # (B,)
@@ -90,16 +105,20 @@ def auction_match(
     # there a coarser eps keeps convergence inside max_rounds at a bounded
     # n*eps optimality loss (~2% of a typical optimum at eps=1e-2*spread).
     n_valid = gt_mask.sum(axis=1).astype(jnp.float32)  # (B,)
-    contested = n_valid >= 0.7 * nq
+    contested = n_valid >= 0.7 * avail.astype(jnp.float32)
     eps_vec = spread * jnp.where(contested, 1e-2, 1e-3)  # (B,)
+    # an image is done once min(#bidders, #objects) columns are assigned —
+    # over-full images (more bidders than objects) saturate and would
+    # otherwise churn owners until max_rounds without this cap
+    target = jnp.minimum(n_valid.astype(jnp.int32), avail)  # (B,)
 
     def one_phase(state, eps):
         price, owner_q, assigned = state
 
         def cond(s):
             i, price, owner_q, assigned = s
-            want = gt_mask & (assigned < 0)
-            return (i < max_rounds) & want.any()
+            done = (assigned >= 0).sum(axis=1) >= target
+            return (i < max_rounds) & ~done.all()
 
         def body(s):
             i, price, owner_q, assigned = s
@@ -145,6 +164,43 @@ def auction_match(
     return jnp.where(gt_mask, assigned, -1)
 
 
+@jax.jit
+def auction_assignment(C: jnp.ndarray, gt_mask: jnp.ndarray) -> jnp.ndarray:
+    """Production assignment on a precomputed cost matrix.
+
+    Runs the forward auction (gts bid for queries), and for OVER-FULL
+    images (#valid gts > nq) the transposed auction instead: the forward
+    problem has no feasible full assignment there — bidders churn to the
+    round cap and the surviving subset can be far from optimal (measured
+    1.5-2.3x scipy's cost). Transposed, queries bid for gts (nq bidders,
+    n_valid > nq objects — feasible), which terminates eps-optimally. The
+    reference hits the same regime via scipy's rectangular LSA
+    (`models/utils/ops.py:114-119`).
+    """
+    B, nq, M = C.shape
+    fwd = auction_match(C, gt_mask)
+    n_valid_i = gt_mask.sum(axis=1)
+    overfull = n_valid_i > nq  # (B,)
+
+    def transposed(_):
+        Ct = jnp.swapaxes(C, 1, 2)  # (B, M, nq): rows=gts, cols=queries
+        qmask = jnp.ones((B, nq), bool)
+        per_query_gt = auction_match(Ct, qmask, row_mask=gt_mask)  # (B, nq)
+        out = jnp.full((B, M), -1, jnp.int32)
+        b_ar = jnp.arange(B)[:, None]
+        tgt = jnp.where(per_query_gt >= 0, per_query_gt, M)
+        return out.at[b_ar, tgt].set(
+            jnp.broadcast_to(jnp.arange(nq, dtype=jnp.int32)[None], (B, nq)),
+            mode="drop",
+        )
+
+    rev = jax.lax.cond(
+        overfull.any(), transposed,
+        lambda _: jnp.full((B, M), -1, jnp.int32), None,
+    )
+    return jnp.where(overfull[:, None], rev, fwd)
+
+
 def hungarian_match(
     pred_bboxes: jnp.ndarray,
     pred_scores: jnp.ndarray,
@@ -187,7 +243,7 @@ def hungarian_match(
     C = jnp.nan_to_num(C, nan=0.0, posinf=0.0, neginf=0.0)
 
     if method in ("auto", "auction"):
-        return auction_match(C, gt_mask)
+        return auction_assignment(C, gt_mask)
     if method == "auction_pallas":
         # VMEM-resident Pallas variant: same math, same tie-breaking as the
         # XLA auction (exactness asserted in tests/test_auction_kernel.py),

@@ -47,7 +47,12 @@ class Callbacks:
 
 
 def add_tensorboard(callbacks: "Callbacks", log_dir: str) -> bool:
-    """TensorBoard integration (reference `callbacks/tensorboard.py`)."""
+    """TensorBoard integration (reference `callbacks/tensorboard.py`).
+
+    Event-complete like the reference logger set: per-epoch scalars, val
+    scalars (`on_val_end`), and the final results curves image on
+    `on_train_end` (reference loggers attach plots/artifacts beyond epoch
+    metrics, `utils/callbacks/{tensorboard,wb}.py`)."""
     try:
         from torch.utils.tensorboard import SummaryWriter
     except ImportError:
@@ -61,7 +66,33 @@ def add_tensorboard(callbacks: "Callbacks", log_dir: str) -> bool:
             except (TypeError, ValueError):
                 pass
 
+    def on_val_end(engine, metrics):
+        step = getattr(engine, "_tb_val_step", 0)
+        engine._tb_val_step = step + 1
+        for k, v in metrics.items():
+            try:
+                writer.add_scalar(f"val/{k}", float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def on_train_end(engine, metrics=None, run_dir=None):
+        if run_dir is not None:
+            png = __import__("pathlib").Path(run_dir) / "results.png"
+            if png.exists():
+                try:
+                    import numpy as np
+                    from PIL import Image
+
+                    writer.add_image(
+                        "results", np.asarray(Image.open(png).convert("RGB")),
+                        dataformats="HWC",
+                    )
+                except Exception:
+                    pass
+
     callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
+    callbacks.add("on_val_end", on_val_end)
+    callbacks.add("on_train_end", on_train_end)
     callbacks.add("teardown", lambda *a, **k: writer.close())
     return True
 
@@ -78,8 +109,36 @@ def add_wandb(callbacks: "Callbacks", project: str = "tamtr_tpu", run_name: str 
     def on_fit_epoch_end(engine, epoch, metrics):
         run.log({k: v for k, v in metrics.items() if isinstance(v, (int, float))}, step=epoch)
 
+    def on_model_save(engine, epoch, path, is_best):
+        # checkpoint artifact upload (reference `callbacks/wb.py` on_model_save)
+        try:
+            run.save(str(path), policy="now")
+        except Exception:
+            pass
+
+    def on_val_end(engine, metrics):
+        run.log({f"val/{k}": v for k, v in metrics.items()
+                 if isinstance(v, (int, float))})
+
+    def on_train_end(engine, metrics=None, run_dir=None):
+        # final metrics summary + results curves image (reference wb.py)
+        if metrics:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    run.summary[k] = v
+        if run_dir is not None:
+            png = __import__("pathlib").Path(run_dir) / "results.png"
+            if png.exists():
+                try:
+                    run.log({"results": wandb.Image(str(png))})
+                except Exception:
+                    pass
+        run.finish()
+
     callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
-    callbacks.add("on_train_end", lambda *a, **k: run.finish())
+    callbacks.add("on_model_save", on_model_save)
+    callbacks.add("on_val_end", on_val_end)
+    callbacks.add("on_train_end", on_train_end)
     return True
 
 
@@ -98,8 +157,37 @@ def add_mlflow(callbacks: "Callbacks", experiment: str = "tamtr_tpu") -> bool:
             step=epoch,
         )
 
+    def on_model_save(engine, epoch, path, is_best):
+        # checkpoint directory artifact (reference `callbacks/mlflow.py`
+        # logs weights on train end; we mirror the richer wb.py cadence)
+        try:
+            mlflow.log_artifacts(str(path), artifact_path="weights")
+        except Exception:
+            pass
+
+    def on_val_end(engine, metrics):
+        try:
+            mlflow.log_metrics(
+                {f"val_{k}": float(v) for k, v in metrics.items()
+                 if isinstance(v, (int, float))}
+            )
+        except Exception:
+            pass
+
+    def on_train_end(engine, metrics=None, run_dir=None):
+        if run_dir is not None:
+            png = __import__("pathlib").Path(run_dir) / "results.png"
+            if png.exists():
+                try:
+                    mlflow.log_artifact(str(png))
+                except Exception:
+                    pass
+        mlflow.end_run()
+
     callbacks.add("on_fit_epoch_end", on_fit_epoch_end)
-    callbacks.add("on_train_end", lambda *a, **k: mlflow.end_run())
+    callbacks.add("on_model_save", on_model_save)
+    callbacks.add("on_val_end", on_val_end)
+    callbacks.add("on_train_end", on_train_end)
     return True
 
 

@@ -10,10 +10,15 @@ once. Differences between successive phases isolate:
 
 Usage:
   PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_phases.py [phase ...]
+      [--bf16] [--batch=N] [--remat-min=N] [--json out.json]
+
+--json persists the measured numbers as an artifact (VERDICT r3: perf
+claims must land as diffable JSON files, not commit prose).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -82,6 +87,7 @@ def main():
         args.remove("--bf16")
         dtype = jnp.bfloat16
     remat_min = 0
+    json_out = None
     for a in list(args):
         if a.startswith("--batch="):
             B = int(a.split("=")[1])
@@ -89,7 +95,16 @@ def main():
         elif a.startswith("--remat-min="):
             remat_min = int(a.split("=")[1])
             args.remove(a)
+        elif a.startswith("--json"):
+            json_out = a.split("=", 1)[1] if "=" in a else "bench_phases.json"
+            args.remove(a)
     phases = args or ["eval_fwd", "train_fwd", "grad", "full"]
+    results = {
+        "batch": B, "imgsz": SZ, "max_gt": M, "chain": K,
+        "dtype": "bfloat16" if dtype == jnp.bfloat16 else "float32",
+        "remat_min_elems": remat_min,
+        "device": jax.devices()[0].device_kind,
+    }
     model, cfg, state, tx, batch = build(dtype, remat_min)
     targets = {"cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}
     variables = {"params": state.params_tree(), "batch_stats": state.batch_stats}
@@ -103,7 +118,9 @@ def main():
                 return jnp.clip(c + jnp.tanh(pred.mean()) * 1e-3, 0, 1), None
             return jax.lax.scan(body, img, None, length=K)[0]
 
-        timed("eval_fwd", eval_chain, variables, batch["img"], batch["txt_feats"])
+        results["eval_fwd_ms"] = 1e3 * timed(
+            "eval_fwd", eval_chain, variables, batch["img"], batch["txt_feats"]
+        )
 
     def loss_value(params, img, k):
         k_cdn, k_drop = jax.random.split(k)
@@ -126,7 +143,9 @@ def main():
             (_, _), ls = jax.lax.scan(body, (img, key), None, length=K)
             return ls
 
-        timed("train_fwd", fwd_chain, state.params_tree(), batch["img"], jax.random.PRNGKey(1))
+        results["train_fwd_ms"] = 1e3 * timed(
+            "train_fwd", fwd_chain, state.params_tree(), batch["img"], jax.random.PRNGKey(1)
+        )
 
     if "grad" in phases:
         @jax.jit
@@ -140,7 +159,9 @@ def main():
             (_, _), gs = jax.lax.scan(body, (img, key), None, length=K)
             return gs
 
-        timed("grad", grad_chain, state.params_tree(), batch["img"], jax.random.PRNGKey(1))
+        results["grad_ms"] = 1e3 * timed(
+            "grad", grad_chain, state.params_tree(), batch["img"], jax.random.PRNGKey(1)
+        )
 
     if "full" in phases:
         step = make_train_step(model, tx, loss_cfg, cfg)
@@ -155,7 +176,13 @@ def main():
             (state, _), losses = jax.lax.scan(body, (state, key), None, length=K)
             return losses
 
-        timed("full", full_chain, state, batch, jax.random.PRNGKey(1))
+        results["full_ms"] = 1e3 * timed("full", full_chain, state, batch, jax.random.PRNGKey(1))
+
+
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out}", flush=True)
 
 
 if __name__ == "__main__":
