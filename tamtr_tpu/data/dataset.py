@@ -284,15 +284,76 @@ class DetectionDataset:
         """Disable mosaic for the final epochs (reference `close_mosaic`)."""
         self._mosaic_on = False
 
-    def get_val(self, i: int) -> Tuple[np.ndarray, A.Sample, Tuple[int, int]]:
-        """Eval sample: (stretched RGB float image, native-space labels, (h, w))."""
+    def _image_shape(self, i: int) -> Tuple[int, int]:
+        """(h, w) of image i without decoding pixels (PIL header read)."""
+        try:
+            from PIL import Image
+
+            with Image.open(self.im_files[i]) as im:
+                w, h = im.size
+            return h, w
+        except Exception:
+            return self._read(i).img.shape[:2]
+
+    def set_rectangle(self, batch_size: int, stride: int = 32, pad: float = 0.5) -> None:
+        """Aspect-ratio-binned val batch shapes (reference
+        `BaseDataset.set_rectangle`, `data/base.py:221-244`): sort images by
+        aspect ratio, then give each batch the minimal stride-multiple
+        shape that letterboxes its images with the least padding.
+
+        TPU note: every distinct (h, w) is a separate XLA compile of the
+        eval step; stride quantization bounds that set (<= imgsz/stride
+        shapes per side in the worst case, usually a handful per dataset).
+        """
+        ni = len(self.im_files)
+        shapes = np.array([self._image_shape(i) for i in range(ni)], np.float64)
+        bi = np.floor(np.arange(ni) / batch_size).astype(int)
+        nb = int(bi[-1]) + 1
+        ar = shapes[:, 0] / shapes[:, 1]  # h / w
+        irect = ar.argsort()
+        self.im_files = [self.im_files[i] for i in irect]
+        self.label_files = [self.label_files[i] for i in irect]
+        self.labels = [self.labels[i] for i in irect]
+        self._im_cache.clear()
+        ar = ar[irect]
+        out = [[1.0, 1.0]] * nb
+        for b in range(nb):
+            ari = ar[bi == b]
+            mini, maxi = ari.min(), ari.max()
+            if maxi < 1:
+                out[b] = [maxi, 1.0]
+            elif mini > 1:
+                out[b] = [1.0, 1.0 / mini]
+        self.batch_shapes = (
+            np.ceil(np.array(out) * self.imgsz / stride + pad).astype(int) * stride
+        )
+        self.batch_index = bi
+        self.rect = True
+
+    def get_val(self, i: int):
+        """Eval sample: (RGB float image, native-space labels, (h, w), lb).
+
+        Square mode (default): stretch-resize to (imgsz, imgsz), lb=None.
+        Rect mode (after `set_rectangle`): letterbox (scaleup=False) to the
+        image's batch shape; lb=(ratio, left, top) maps predictions back
+        to native space."""
         import cv2
 
         raw = self._read(i)
         h, w = raw.img.shape[:2]
+        if getattr(self, "rect", False):
+            bh, bw = (int(v) for v in self.batch_shapes[self.batch_index[i]])
+            r = min(bh / h, bw / w, 1.0)
+            nh, nw = max(round(h * r), 1), max(round(w * r), 1)
+            resized = cv2.resize(raw.img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            canvas = np.full((bh, bw, 3), 114, np.uint8)
+            top, left = (bh - nh) // 2, (bw - nw) // 2
+            canvas[top:top + nh, left:left + nw] = resized
+            img = canvas[..., ::-1].astype(np.float32) / 255.0
+            return img, raw, (h, w), (r, left, top)
         img = cv2.resize(raw.img, (self.imgsz, self.imgsz), interpolation=cv2.INTER_LINEAR)
         img = img[..., ::-1].astype(np.float32) / 255.0
-        return img, raw, (h, w)
+        return img, raw, (h, w), None
 
     def get(self, i: int, rng: Optional[np.random.Generator] = None) -> A.Sample:
         """Load + augment one sample at imgsz (stretch/scaleFill path)."""

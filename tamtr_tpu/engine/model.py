@@ -721,7 +721,12 @@ class Engine:
                 full = model.apply(variables, img, txt, None, False)
                 out = full["pred"]
                 if pixel_head:
-                    scale = jnp.array([1.0 / imgsz] * 4 + [1.0] * (out.shape[-1] - 4))
+                    # imgsz may be (h, w) for rect val batches
+                    hh, ww = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
+                    scale = jnp.array(
+                        [1.0 / ww, 1.0 / hh, 1.0 / ww, 1.0 / hh]
+                        + [1.0] * (out.shape[-1] - 4)
+                    )
                     out = out * scale
                 boxes, scores, labels, valid, kept = postprocess_predictions(
                     out, conf, iou, max_det, legacy_val_mask=legacy_val_mask
@@ -754,6 +759,10 @@ class Engine:
         conf = cfg.conf if cfg.conf is not None else 0.4
 
         n_dev = jax.device_count()
+        # rect val (reference `base.py:221-244` + rect flag): aspect-ratio
+        # binned letterboxed batches — YOLO-family (pixel heads) only; the
+        # TAM-TR protocol stretches square (`rtdetrworld/val.py` rect=False)
+        rect = bool(cfg.rect) and model.head_type == "Detect" and n_dev == 1
         eval_step = self._get_eval_step(
             model, conf, cfg.iou, cfg.max_det, cfg.imgsz, sharded=n_dev > 1,
             legacy_val_mask=True,  # reference val protocol quirk (ops/nms.py)
@@ -779,6 +788,8 @@ class Engine:
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=max(cfg.workers, 1))
+        if rect:
+            ds.set_rectangle(bs)  # reorders by aspect ratio; chunks align
         batches = [list(range(s, min(s + bs, n))) for s in range(0, n, bs)]
 
         def fetch(idxs):
@@ -792,19 +803,34 @@ class Engine:
             items = futures.pop(bi).result()
             raws = [it[1] for it in items]
             shapes_hw = [it[2] for it in items]
+            lbs = [it[3] for it in items]
             imgs = [it[0] for it in items]
             while len(imgs) < bs:  # pad to a single compiled shape
                 imgs.append(np.zeros_like(imgs[0]))
             img = jnp.asarray(np.stack(imgs))
             txt = jnp.broadcast_to(txt_all, (bs,) + txt_all.shape[1:])
+            step = eval_step
+            if rect:
+                bh, bw = imgs[0].shape[:2]
+                step = self._get_eval_step(
+                    model, conf, cfg.iou, cfg.max_det, (bh, bw),
+                    legacy_val_mask=True,
+                )
             boxes, scores, labels, valid, *_extra = jax.device_get(
-                eval_step(variables, img, txt)
+                step(variables, img, txt)
             )
             for k, i in enumerate(idxs):
                 r = raws[k]
                 oh, ow = shapes_hw[k]
                 sel = valid[k] & (scores[k] > 0)
-                pb = boxes[k][sel] * np.array([ow, oh, ow, oh], np.float32)
+                if lbs[k] is not None:  # rect: undo letterbox (ratio, pads)
+                    ratio, left, top = lbs[k]
+                    bh, bw = imgs[k].shape[:2]
+                    pb = boxes[k][sel] * np.array([bw, bh, bw, bh], np.float32)
+                    pb = (pb - np.array([left, top, left, top], np.float32)) / ratio
+                    pb = pb.clip(0, [ow, oh, ow, oh])
+                else:
+                    pb = boxes[k][sel] * np.array([ow, oh, ow, oh], np.float32)
                 pc = labels[k][sel].astype(np.float32)
                 ps = scores[k][sel]
                 tp = match_predictions(pb, pc, r.boxes, r.cls.astype(np.float32))
@@ -908,6 +934,14 @@ class Engine:
         assert self.model is not None and self.state is not None, "load/train a model first"
         if self.model.head_type == "Classify":
             return self._predict_classify(source, cfg)
+        # video / stream sources run the frame loop (annotated mp4 if save=True)
+        from tamtr_tpu.data.loaders import VID_EXTS
+
+        if isinstance(source, int) or (
+            isinstance(source, str)
+            and (source.isdigit() or Path(source).suffix.lower() in VID_EXTS)
+        ):
+            return self._predict_frames(source, cfg)
         paths: List[str]
         if isinstance(source, (str, Path)):
             p = Path(source)
@@ -975,17 +1009,73 @@ class Engine:
                 )
                 idx = keep[valid_k]
                 b, s, l = b[idx[idx < len(b)]], s[idx[idx < len(s)]], l[idx[idx < len(l)]]
-            results.append(
-                Results(
-                    path,
-                    b * np.array([ow, oh, ow, oh], np.float32),
-                    s,
-                    l,
-                    self.names,
-                    orig_shape=(oh, ow),
-                    masks=det_masks if not cfg.augment else None,
-                )
+            r = Results(
+                path,
+                b * np.array([ow, oh, ow, oh], np.float32),
+                s,
+                l,
+                self.names,
+                orig_shape=(oh, ow),
+                masks=det_masks if not cfg.augment else None,
             )
+            if cfg.save:  # annotated image output (reference save=True)
+                out_dir = Path(cfg.project or "runs/detect") / (cfg.name or "predict")
+                r.save(out_dir / Path(path).name)
+            results.append(r)
+        return results
+
+    def _predict_frames(self, source, cfg: Config) -> List[Any]:
+        """Predict over a video/stream source frame by frame; save=True
+        writes the annotated mp4 (reference `predictor.py:151-185`)."""
+        import cv2
+
+        from tamtr_tpu.data.loaders import VID_EXTS, load_inference_source
+        from tamtr_tpu.engine.results import AnnotatedVideoWriter, Results
+
+        variables = self._variables_from(self.state)
+        pred_model, variables = self._resolve_eval_model(self.model, variables, cfg)
+        conf = cfg.conf if cfg.conf is not None else 0.25
+        eval_step = self._get_eval_step(pred_model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
+        txt = jnp.asarray(self.txt_feats[None])
+        writer = None
+        if cfg.save:
+            src_p = Path(str(source))
+            is_stream = isinstance(source, int) or (
+                isinstance(source, str) and source.isdigit()
+            )
+            fps = 30.0
+            if not is_stream and src_p.exists():
+                cap = cv2.VideoCapture(str(src_p))
+                fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+                cap.release()
+            out = (
+                Path(cfg.project or "runs/detect")
+                / (cfg.name or "predict")
+                / (src_p.stem if not is_stream else f"stream{source}")
+            ).with_suffix(".mp4")
+            writer = AnnotatedVideoWriter(out, fps / max(cfg.vid_stride, 1))
+        results = []
+        for name, frame in load_inference_source(source, cfg.vid_stride, cfg.stream_buffer):
+            oh, ow = frame.shape[:2]
+            img = cv2.resize(frame, (cfg.imgsz, cfg.imgsz))[..., ::-1].astype(np.float32) / 255.0
+            boxes, scores, labels, valid, *_ = jax.device_get(
+                eval_step(variables, jnp.asarray(np.ascontiguousarray(img)[None]), txt)
+            )
+            sel = valid[0] & (scores[0] > 0)
+            r = Results(
+                name,
+                boxes[0][sel] * np.array([ow, oh, ow, oh], np.float32),
+                scores[0][sel],
+                labels[0][sel],
+                self.names,
+                orig_shape=(oh, ow),
+                orig_img=frame,
+            )
+            if writer is not None:
+                writer.write(r)
+            results.append(r)
+        if writer is not None:
+            writer.close()
         return results
 
     # ------------------------------------------------------------------ track
@@ -1013,6 +1103,29 @@ class Engine:
         conf = cfg.conf if cfg.conf is not None else 0.25
         eval_step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
         txt = jnp.asarray(self.txt_feats[None])
+        # annotated-video output (reference `predictor.py:151-185`): save=True
+        # on a video/stream source writes the plotted frames to an mp4
+        writer = None
+        if cfg.save:
+            from tamtr_tpu.data.loaders import VID_EXTS
+            from tamtr_tpu.engine.results import AnnotatedVideoWriter
+
+            src_p = Path(str(source))
+            is_stream = isinstance(source, int) or (
+                isinstance(source, str) and source.isdigit()
+            )
+            if is_stream or src_p.suffix.lower() in VID_EXTS:
+                fps = 30.0
+                if not is_stream and src_p.exists():
+                    cap = cv2.VideoCapture(str(src_p))
+                    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+                    cap.release()
+                out = (
+                    Path(cfg.project or "runs/track")
+                    / (cfg.name or "predict")
+                    / (src_p.stem if not is_stream else f"stream{source}")
+                ).with_suffix(".mp4")
+                writer = AnnotatedVideoWriter(out, fps / max(cfg.vid_stride, 1))
         results = []
         for name, frame in load_inference_source(source, cfg.vid_stride, cfg.stream_buffer):
             oh, ow = frame.shape[:2]
@@ -1028,9 +1141,14 @@ class Engine:
                 labels[0][sel],
                 self.names,
                 orig_shape=(oh, ow),
+                orig_img=frame,
             )
             update_result_with_tracks(r, self._tracker)
+            if writer is not None:
+                writer.write(r)
             results.append(r)
+        if writer is not None:
+            writer.close()
         return results
 
     def tune(

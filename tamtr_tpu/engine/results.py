@@ -45,6 +45,7 @@ class Results:
         names: Sequence[str],
         orig_shape: Optional[tuple] = None,
         masks: Optional[np.ndarray] = None,
+        orig_img: Optional[np.ndarray] = None,
     ):
         self.path = path
         self.names = list(names)
@@ -52,6 +53,9 @@ class Results:
         self.orig_shape = orig_shape
         # (N, Hm, Wm) sigmoid mask probabilities at proto resolution, or None
         self.masks = masks
+        # BGR source frame for non-file sources (video/webcam/array) so
+        # plot()/save() work without re-reading from disk
+        self.orig_img = orig_img
 
     def __len__(self) -> int:
         return len(self.boxes)
@@ -74,7 +78,7 @@ class Results:
 
         from tamtr_tpu.utils.plotting import annotate_image
 
-        img = cv2.imread(self.path)
+        img = self.orig_img.copy() if self.orig_img is not None else cv2.imread(self.path)
         if self.masks is not None and len(self.masks):
             from tamtr_tpu.utils.plotting import _palette
 
@@ -122,3 +126,41 @@ class Results:
                 }
             )
         return json.dumps(out)
+
+
+class AnnotatedVideoWriter:
+    """Annotated-video output for predict/track on video/stream sources
+    (reference predictor save path, `engine/predictor.py:151-185`: plotted
+    frames written through cv2.VideoWriter). Lazily opens on the first
+    frame so the output size matches the annotated frame."""
+
+    def __init__(self, out_path, fps: float = 30.0):
+        from pathlib import Path as _P
+
+        self.out_path = _P(out_path)
+        self.fps = float(fps) if fps and fps > 0 else 30.0
+        self._writer = None
+
+    def write(self, result: "Results") -> None:
+        import cv2
+
+        frame = result.plot()
+        if self._writer is None:
+            self.out_path.parent.mkdir(parents=True, exist_ok=True)
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            h, w = frame.shape[:2]
+            self._writer = cv2.VideoWriter(
+                str(self.out_path), fourcc, self.fps, (w, h)
+            )
+        self._writer.write(frame)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

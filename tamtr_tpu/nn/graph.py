@@ -134,6 +134,12 @@ def _build_module(m: str, args: Tuple, name: str, deploy: bool = False):
         return L.Upsample(scale, name=name)
     if m == "Silence":
         return L.Silence(name=name)
+    if m == "CBLinear":
+        c2s = tuple(args[0])
+        k, s = (list(args[1:]) + [1, 1])[:2]
+        return L.CBLinear(c2s, k, s, name=name)
+    if m == "CBFuse":
+        return L.CBFuse(tuple(args[0]), name=name)
     raise ValueError(f"unknown module {m}")
 
 
@@ -225,7 +231,7 @@ class TAMTRModel(nn.Module):
             mod = _build_module(
                 m, args, name=f"m{idx}_{m.replace('.', '_')}", deploy=self.deploy
             )
-            heavy = m not in ("Concat", "Silence", "nn.Upsample")
+            heavy = m not in ("Concat", "Silence", "nn.Upsample", "CBFuse")
             if heavy and self.remat_min_elems:
                 ref = inp[0] if isinstance(inp, list) else inp
                 per_item = int(np.prod(ref.shape[1:]))

@@ -389,6 +389,55 @@ class Silence(nn.Module):
         return x
 
 
+class CBLinear(nn.Module):
+    """YOLOv9 auxiliary-branch projection (reference
+    `extra_modules/block.py:316-324`): one biased conv producing
+    sum(c2s) channels, split into a tuple of per-branch maps."""
+
+    c2s: Tuple[int, ...]
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        pad = autopad(self.k)
+        out = nn.Conv(
+            features=int(sum(self.c2s)),
+            kernel_size=(self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=True,
+            dtype=x.dtype,
+            name="conv",
+        )(x)
+        splits, acc = [], 0
+        for c in self.c2s[:-1]:
+            acc += int(c)
+            splits.append(acc)
+        return tuple(jnp.split(out, splits, axis=-1))
+
+
+class CBFuse(nn.Module):
+    """YOLOv9 cross-branch fuse (reference `extra_modules/block.py:326-338`):
+    pick entry idx[i] from each earlier CBLinear tuple, nearest-resize to
+    the LAST input's spatial size, and sum everything."""
+
+    idx: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False) -> jnp.ndarray:
+        last = xs[-1]
+        th, tw = last.shape[1], last.shape[2]
+        out = last
+        for i, x in enumerate(xs[:-1]):
+            xi = x[self.idx[i]]
+            xi = jax.image.resize(
+                xi, (xi.shape[0], th, tw, xi.shape[-1]), method="nearest"
+            )
+            out = out + xi.astype(last.dtype)
+        return out
+
+
 class MLP(nn.Module):
     """Simple ReLU MLP (the reference `nn/modules/transformer.py:MLP`).
 

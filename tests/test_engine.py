@@ -59,6 +59,30 @@ def test_engine_train_and_val(synth_root):
     assert len(preds) == 4
     assert all("boxes" in p and "scores" in p for p in preds)
 
+    # annotated-video output (reference predictor save path): predict and
+    # track on a synthetic mp4 both write a playable annotated video
+    import cv2
+
+    vid = synth_root.parent / "clip.mp4"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 10, (128, 96))
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        vw.write(rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+    vw.release()
+    out_dir = synth_root.parent / "vidruns"
+    frames = eng.predict(str(vid), imgsz=64, conf=0.01, save=True,
+                         project=str(out_dir), name="pred")
+    assert len(frames) == 5 and frames[0].orig_img is not None
+    out_mp4 = out_dir / "pred" / "clip.mp4"
+    assert out_mp4.exists() and out_mp4.stat().st_size > 0
+    cap = cv2.VideoCapture(str(out_mp4))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    cap.release()
+    tracks = eng.track(str(vid), imgsz=64, conf=0.01, save=True,
+                       project=str(out_dir), name="trk")
+    assert len(tracks) == 5
+    assert (out_dir / "trk" / "clip.mp4").exists()
+
 
 def test_engine_tta_predict(synth_root):
     """TTA predict (3 scales + flip merge) runs and returns Results."""
