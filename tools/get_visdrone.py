@@ -45,7 +45,7 @@ NAMES = [
 
 
 def download(root: Path, url_base: str) -> None:
-    import urllib.request
+    from tamtr_tpu.utils.downloads import safe_download
 
     dl = root / "downloads"
     dl.mkdir(parents=True, exist_ok=True)
@@ -54,9 +54,8 @@ def download(root: Path, url_base: str) -> None:
         if dst.exists():
             print(f"have {z}")
             continue
-        url = url_base + z
-        print(f"downloading {url} ...")
-        urllib.request.urlretrieve(url, dst)  # noqa: S310
+        print(f"downloading {url_base + z} ...")
+        safe_download(url_base + z, file=dst, unzip=False, retry=3)
 
 
 def extract(root: Path) -> None:
