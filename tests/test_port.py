@@ -24,11 +24,16 @@ def ref_model():
     torch = pytest.importorskip("torch")
     from tools.refstubs import install_reference_stubs
 
-    # Hermeticity: torch CPU intra-op threading makes float reductions
+    # Hermeticity: (a) torch CPU intra-op threading makes float reductions
     # non-associative run-to-run, which flips near-tie top-k selections in
     # the reference head (`head.py:1221-1266`) depending on what ran before
-    # this module. One thread = deterministic reduction order.
+    # this module — one thread = deterministic reduction order; (b) the
+    # reference model's random init draws from torch's GLOBAL rng, so any
+    # earlier test that consumed it changed these weights (and how many
+    # near-ties sit at the top-k boundary) — seed it so the constructed
+    # model is identical no matter what ran before.
     torch.set_num_threads(1)
+    torch.manual_seed(0)
     install_reference_stubs(str(REF))
     from ultralytics.nn.tasks import RTDETRDetectionWorldModel
 

@@ -15,6 +15,7 @@ Usage:
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -44,6 +45,9 @@ def make_args(B, Q, dtype, key):
     return value, loc, w
 
 
+RESULTS = {}
+
+
 def timed(name, fn, *args, iters):
     out = fn(*args)
     first = jax.tree.leaves(out)[0]
@@ -56,11 +60,12 @@ def timed(name, fn, *args, iters):
         float(jnp.asarray(first).ravel()[0])
         best = min(best, (time.perf_counter() - t0) / iters)
     print(f"[{name}] {best * 1e3:.2f} ms/layer-call", flush=True)
+    RESULTS[f"{name}_ms"] = round(best * 1e3, 2)
 
 
 def main():
     args = sys.argv[1:]
-    dtype, B, Q, iters = jnp.float32, 8, 700, 8
+    dtype, B, Q, iters, json_out = jnp.float32, 8, 700, 8, None
     for a in list(args):
         if a == "--bf16":
             dtype = jnp.bfloat16
@@ -68,6 +73,8 @@ def main():
             B = int(a.split("=")[1])
         elif a.startswith("--q="):
             Q = int(a.split("=")[1])
+        elif a.startswith("--json"):
+            json_out = a.split("=", 1)[1] if "=" in a else "bench_deform.json"
         else:
             iters = int(a)
     value, loc, w = make_args(B, Q, dtype, jax.random.PRNGKey(0))
@@ -98,6 +105,13 @@ def main():
         return jax.lax.scan(body, value, None, length=iters)[0]
 
     timed("fwd+bwd", grad_chain, value, loc, w, iters=iters)
+    if json_out:
+        RESULTS.update({"batch": B, "q": Q, "iters": iters,
+                        "dtype": jnp.dtype(dtype).name,
+                        "device": jax.devices()[0].device_kind})
+        with open(json_out, "w") as f:
+            json.dump(RESULTS, f, indent=1)
+        print(f"wrote {json_out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_scan.py [iters]
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -31,7 +32,13 @@ LEVELS = [  # (H, W, d_inner) for the 3 mixer levels at 640px
     (80, 80, 512),
     (40, 40, 1024),
 ]
-ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+JSON_OUT = None
+_argv = [a for a in sys.argv[1:]]
+for _a in list(_argv):
+    if _a.startswith("--json"):
+        JSON_OUT = _a.split("=", 1)[1] if "=" in _a else "bench_scan.json"
+        _argv.remove(_a)
+ITERS = int(_argv[0]) if _argv else 8
 
 
 def make_args(H, W, D, key):
@@ -99,6 +106,8 @@ def run(fn, args, iters, label, flops_per_iter):
 
 def main():
     total_fwd = total_bwd = 0.0
+    results = {"batch": B, "iters": ITERS, "device": jax.devices()[0].device_kind,
+               "levels": {}}
     for H, W, D in LEVELS:
         L = H * W
         args = make_args(H, W, D, jax.random.PRNGKey(L))
@@ -108,7 +117,15 @@ def main():
         ms_fb = run(chain_fwdbwd, args, ITERS, f"L{H}x{W} D{D} fwd+bwd", flops * 3)
         total_fwd += ms_f
         total_bwd += ms_fb
+        results["levels"][f"{H}x{W}xD{D}"] = {
+            "fwd_ms": round(ms_f, 2), "fwdbwd_ms": round(ms_fb, 2)}
     print(f"\ntotal fwd: {total_fwd:.1f} ms   total fwd+bwd: {total_bwd:.1f} ms")
+    results["total_fwd_ms"] = round(total_fwd, 2)
+    results["total_fwdbwd_ms"] = round(total_bwd, 2)
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {JSON_OUT}")
 
 
 if __name__ == "__main__":
