@@ -108,6 +108,9 @@ class RepConvN(nn.Module):
             y = nn.Conv(
                 self.c2, (3, 3), strides=(self.s, self.s),
                 padding=[(1, 1), (1, 1)], use_bias=True, name="fused",
+                dtype=x.dtype,  # without this, f32 params promote the whole
+                # conv to f32 and the fused model LOSES to the unfused one in
+                # bf16 (measured 57.7 vs 42.6 ms/step eval b4)
             )(x)
             return nn.silu(y) if self.act else y
         y1 = ConvBN(self.c2, 3, self.s, p=1, act=False, name="conv1")(x, train)
