@@ -135,8 +135,12 @@ def _flops_of_chained(jitted, args, chain_len: int) -> float:
         return 0.0
 
 
-def measure_eval(dtype=jnp.float32, batch=BATCH):
+def measure_eval(dtype=jnp.float32, batch=BATCH, fuse=False):
     """Steady-state eval forward, chained (see module docstring).
+
+    fuse=True measures the deploy-fused model (RepConvN branches collapsed,
+    `nn/fuse.py`) — the serving path, mirroring the reference's default
+    `model.fuse()` at inference.
 
     Returns (img_per_sec, flops_per_forward)."""
     from tamtr_tpu.nn.graph import TAMTRModel
@@ -154,6 +158,11 @@ def measure_eval(dtype=jnp.float32, batch=BATCH):
         return model.init({"params": k, "cdn": k, "dropout": k}, img, txt, None, False)
 
     variables = jax.jit(init)(jax.random.PRNGKey(0), imgs[0], txt)
+    if fuse:
+        from tamtr_tpu.nn.fuse import fuse_repconv_variables
+
+        model = model.clone(deploy=True)
+        variables = fuse_repconv_variables(jax.device_get(variables))
 
     def fwd(variables, img, txt):
         return model.apply(variables, img, txt, None, False)["pred"]
@@ -273,15 +282,27 @@ def main() -> None:
 
     def run_stage(name: str, est_s: float, fn) -> bool:
         """Run one measurement stage under the budget; never let it take
-        down the stages that already ran (errors land in the JSON)."""
+        down the stages that already ran (errors land in the JSON).
+        Transient axon infra errors (remote_compile flakes, worker
+        restarts) get ONE retry after a cooldown."""
         if _remaining() <= est_s:
             result["skipped"].append(name)
             emit(result)
             return False
-        try:
-            fn()
-        except Exception as e:
-            result["errors"].append(f"{name}: {e!r}")
+        for attempt in (0, 1):
+            try:
+                fn()
+                break
+            except Exception as e:
+                msg = repr(e)
+                transient = any(
+                    s in msg for s in ("remote_compile", "INTERNAL", "UNAVAILABLE")
+                )
+                if attempt == 0 and transient and _remaining() > est_s:
+                    time.sleep(30)
+                    continue
+                result["errors"].append(f"{name}: {msg}")
+                break
         emit(result)
         return True
 
@@ -312,6 +333,19 @@ def main() -> None:
             )
 
     run_stage("eval_bf16", stage_s * 1.2 if warm else 600.0, stage_eval_bf16)
+
+    # 2b. bf16 + deploy fusion — the serving configuration (reference fuses
+    # at inference by default; AutoBackend half+fuse).
+    def stage_eval_bf16_fused():
+        ips_f, flops_f = measure_eval(jnp.bfloat16, fuse=True)
+        result["eval_img_per_sec_bf16_fused"] = round(ips_f, 2)
+        if flops_f:
+            result["eval_mfu_pct_bf16_fused"] = round(
+                100 * flops_f * ips_f / BATCH / PEAK_FLOPS, 2
+            )
+
+    run_stage("eval_bf16_fused", stage_s * 1.2 if warm else 600.0,
+              stage_eval_bf16_fused)
 
     # 3. headline train config: bf16 compute (fp32 scan state + loss — the
     # reference force_fp32 contract) at micro-batch 8.
