@@ -199,6 +199,38 @@ def _gather_pairs_kernel(
     jax.lax.fori_loop(0, out_ref.shape[0], body, 0)
 
 
+def _gather_pairs_kernel_q2(
+    idx_ref, wa_ref, wb_ref, value_ref, out_ref, *scratch, pairs_per_q: int
+):
+    """2-query-interleaved variant of `_gather_pairs_kernel` (opt-in via
+    TAMTR_DEFORM_Q2=1, requires Q even): each loop iteration accumulates
+    TWO queries' pair lists, doubling the independent (2, c) loads/FMAs in
+    flight so Mosaic can hide the dynamic-load latency."""
+    if scratch:
+        scratch[0][...] = value_ref[...].astype(jnp.float32)
+        rows_ref = scratch[0]
+    else:
+        rows_ref = value_ref
+    c = out_ref.shape[1]
+
+    def body(q2, _):
+        q = q2 * 2
+        acc0 = jnp.zeros((1, c), jnp.float32)
+        acc1 = jnp.zeros((1, c), jnp.float32)
+        for j in range(pairs_per_q):  # static unroll
+            u0 = q * pairs_per_q + j
+            u1 = u0 + pairs_per_q
+            r0 = rows_ref[pl.ds(idx_ref[0, u0], 2), :]
+            r1 = rows_ref[pl.ds(idx_ref[0, u1], 2), :]
+            acc0 = acc0 + r0[0:1] * wa_ref[0, u0] + r0[1:2] * wb_ref[0, u0]
+            acc1 = acc1 + r1[0:1] * wa_ref[0, u1] + r1[1:2] * wb_ref[0, u1]
+        out_ref[pl.ds(q, 1), :] = acc0
+        out_ref[pl.ds(q + 1, 1), :] = acc1
+        return 0
+
+    jax.lax.fori_loop(0, out_ref.shape[0] // 2, body, 0)
+
+
 def _gather_acc_pairs(idx2, wa, wb, value_pad, Q: int):
     """idx2/wa/wb (G, nU2); value_pad (G, L2, c) any float dtype (L2 includes
     _ROW_PAD zero rows) -> (G, Q, c) f32; nU2 = Q * pairs_per_q."""
@@ -206,8 +238,10 @@ def _gather_acc_pairs(idx2, wa, wb, value_pad, Q: int):
     _, L2, c = value_pad.shape
     smem = pl.BlockSpec((None, 1, nU2), lambda g: (g, 0, 0), memory_space=pltpu.SMEM)
     widen = value_pad.dtype != jnp.float32
+    q2 = os.environ.get("TAMTR_DEFORM_Q2") == "1" and Q % 2 == 0
+    kernel = _gather_pairs_kernel_q2 if q2 else _gather_pairs_kernel
     return pl.pallas_call(
-        functools.partial(_gather_pairs_kernel, pairs_per_q=nU2 // Q),
+        functools.partial(kernel, pairs_per_q=nU2 // Q),
         grid=(G,),
         in_specs=[
             smem,
