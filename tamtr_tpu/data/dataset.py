@@ -32,6 +32,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from tamtr_tpu.data import augment as A
+from tamtr_tpu.utils.patches import imread as _imread
 
 IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
 
@@ -116,7 +117,7 @@ class DetectionDataset:
         (reference `check_cache_ram`, `data/base.py:203-220`)."""
         import cv2
 
-        sample = cv2.imread(self.im_files[0])
+        sample = _imread(self.im_files[0])
         if sample is None:
             return False
         need = sample.nbytes * len(self.im_files) * safety
@@ -236,7 +237,7 @@ class DetectionDataset:
         if self.cache == "ram":
             img = self._im_cache.get(i)
             if img is None:
-                img = cv2.imread(self.im_files[i])
+                img = _imread(self.im_files[i])
                 if img is not None:
                     self._im_cache[i] = img  # dict set is atomic under the GIL
             return img
@@ -247,14 +248,14 @@ class DetectionDataset:
                     return np.load(npy, mmap_mode="r")
                 except Exception:
                     pass
-            img = cv2.imread(self.im_files[i])
+            img = _imread(self.im_files[i])
             if img is not None:
                 try:
                     np.save(npy, img)
                 except OSError:
                     pass
             return img
-        return cv2.imread(self.im_files[i])
+        return _imread(self.im_files[i])
 
     def _read(self, i: int) -> A.Sample:
         img = self._decode(i)
@@ -604,7 +605,7 @@ class ClassificationDataset:
         import cv2
 
         path, label = self.samples[i]
-        img = cv2.imread(path)
+        img = _imread(path)
         if img is None:
             raise FileNotFoundError(path)
         h, w = img.shape[:2]

@@ -14,6 +14,8 @@ from typing import Any, Generator, Iterable, List, Tuple, Union
 import numpy as np
 
 IMG_EXTS = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+from tamtr_tpu.utils.patches import imread as _imread
+
 VID_EXTS = {".avi", ".mp4", ".mkv", ".mov", ".wmv", ".m4v", ".mpg", ".mpeg", ".webm"}
 
 
@@ -64,7 +66,7 @@ def load_inference_source(
     if p.is_dir():
         for f in sorted(p.rglob("*")):
             if f.suffix.lower() in IMG_EXTS:
-                img = cv2.imread(str(f))
+                img = _imread(str(f))
                 if img is not None:
                     yield str(f), img
             elif f.suffix.lower() in VID_EXTS:
@@ -84,7 +86,7 @@ def load_inference_source(
         finally:
             cap.release()
         return
-    img = cv2.imread(str(p))
+    img = _imread(str(p))
     if img is None:
         raise FileNotFoundError(f"cannot read source {source}")
     yield str(p), img

@@ -78,7 +78,9 @@ class Results:
 
         from tamtr_tpu.utils.plotting import annotate_image
 
-        img = self.orig_img.copy() if self.orig_img is not None else cv2.imread(self.path)
+        from tamtr_tpu.utils.patches import imread as _imread
+
+        img = self.orig_img.copy() if self.orig_img is not None else _imread(self.path)
         if self.masks is not None and len(self.masks):
             from tamtr_tpu.utils.plotting import _palette
 
