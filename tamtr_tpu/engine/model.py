@@ -683,7 +683,7 @@ class Engine:
         return deploy, fused
 
     def _get_eval_step(self, model, conf, iou, max_det, imgsz, sharded=False,
-                       legacy_val_mask=False):
+                       legacy_val_mask=False, classes=None, single_cls=False):
         """Jitted eval step, cached per (conf, iou, max_det, imgsz) — a fresh
         closure per val call would retrace every epoch.
 
@@ -694,7 +694,9 @@ class Engine:
         legacy_val_mask replicates the reference val protocol's
         mask-after-sort conf-filter quirk (see ops/nms.py) — the validator
         sets it so mAP numbers are protocol-identical; predict stays clean."""
-        key = (id(model), conf, iou, max_det, imgsz, sharded, legacy_val_mask)
+        classes = tuple(classes) if classes is not None else None
+        key = (id(model), conf, iou, max_det, imgsz, sharded, legacy_val_mask,
+               classes, single_cls)
         cache = getattr(self, "_eval_steps", None)
         if cache is None:
             cache = self._eval_steps = {}
@@ -729,7 +731,8 @@ class Engine:
                     )
                     out = out * scale
                 boxes, scores, labels, valid, kept = postprocess_predictions(
-                    out, conf, iou, max_det, legacy_val_mask=legacy_val_mask
+                    out, conf, iou, max_det, legacy_val_mask=legacy_val_mask,
+                    classes=classes, single_cls=single_cls,
                 )
                 res = (boxes, scores, labels, valid)
                 if model.head_type == "Segment":
@@ -766,6 +769,7 @@ class Engine:
         eval_step = self._get_eval_step(
             model, conf, cfg.iou, cfg.max_det, cfg.imgsz, sharded=n_dev > 1,
             legacy_val_mask=True,  # reference val protocol quirk (ops/nms.py)
+            classes=cfg.classes, single_cls=cfg.single_cls,
         )
 
         metrics = DetMetrics()
@@ -815,6 +819,7 @@ class Engine:
                 step = self._get_eval_step(
                     model, conf, cfg.iou, cfg.max_det, (bh, bw),
                     legacy_val_mask=True,
+                    classes=cfg.classes, single_cls=cfg.single_cls,
                 )
             boxes, scores, labels, valid, *_extra = jax.device_get(
                 step(variables, img, txt)
@@ -955,7 +960,10 @@ class Engine:
         variables = self._variables_from(self.state)
         pred_model, variables = self._resolve_eval_model(self.model, variables, cfg)
         conf = cfg.conf if cfg.conf is not None else 0.25
-        eval_step = self._get_eval_step(pred_model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
+        eval_step = self._get_eval_step(
+            pred_model, conf, cfg.iou, cfg.max_det, cfg.imgsz,
+            classes=cfg.classes, single_cls=cfg.single_cls,
+        )
 
         from tamtr_tpu.engine.results import Results
 
@@ -981,7 +989,10 @@ class Engine:
                 img = cv2.resize(im0, (sz, sz))[..., ::-1].astype(np.float32) / 255.0
                 if flip:
                     img = img[:, ::-1]
-                step = self._get_eval_step(pred_model, conf, cfg.iou, cfg.max_det, sz)
+                step = self._get_eval_step(
+                    pred_model, conf, cfg.iou, cfg.max_det, sz,
+                    classes=cfg.classes, single_cls=cfg.single_cls,
+                )
                 boxes, scores, labels, valid, *extra = jax.device_get(
                     step(variables, jnp.asarray(np.ascontiguousarray(img)[None]), txt)
                 )
@@ -1035,7 +1046,10 @@ class Engine:
         variables = self._variables_from(self.state)
         pred_model, variables = self._resolve_eval_model(self.model, variables, cfg)
         conf = cfg.conf if cfg.conf is not None else 0.25
-        eval_step = self._get_eval_step(pred_model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
+        eval_step = self._get_eval_step(
+            pred_model, conf, cfg.iou, cfg.max_det, cfg.imgsz,
+            classes=cfg.classes, single_cls=cfg.single_cls,
+        )
         txt = jnp.asarray(self.txt_feats[None])
         writer = None
         if cfg.save:

@@ -71,13 +71,15 @@ def multiclass_nms(
     return nms(boxes + off, scores, iou_threshold, max_det)
 
 
-@partial(jax.jit, static_argnames=("max_det", "legacy_val_mask"))
+@partial(jax.jit, static_argnames=("max_det", "legacy_val_mask", "classes", "single_cls"))
 def postprocess_predictions(
     pred: jnp.ndarray,
     conf_thres: float = 0.4,
     iou_thres: float = 0.6,
     max_det: int = 300,
     legacy_val_mask: bool = False,
+    classes: Tuple[int, ...] = None,
+    single_cls: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode the head's eval output for a batch.
 
@@ -108,6 +110,17 @@ def postprocess_predictions(
     cls_scores = pred[..., 4:]
     scores = cls_scores.max(-1)
     labels = cls_scores.argmax(-1)
+    if classes is not None:
+        # class filter AFTER argmax (reference `predict.py:64-66`: a box
+        # whose best class is disallowed is dropped, not re-assigned)
+        nc = cls_scores.shape[-1]
+        allowed = jnp.zeros((nc,), bool).at[jnp.array(classes, jnp.int32)].set(True)
+        scores = jnp.where(allowed[labels], scores, 0.0)
+    if single_cls:
+        # all detections share class 0 and suppress each other
+        # (reference val.py:123 `(0 if single_cls else max_wh)` +
+        # update_metrics `pred[:, 5] = 0`)
+        labels = jnp.zeros_like(labels)
     if legacy_val_mask:
         # keep query i iff the original-order query at i's sort rank passed
         ranks = jnp.argsort(jnp.argsort(-scores, axis=-1), axis=-1)

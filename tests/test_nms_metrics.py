@@ -128,3 +128,50 @@ def test_confusion_matrix_classify():
     cm = ConfusionMatrix(nc=2, task="classify")
     cm.process_cls_preds([0, 1, 1], [0, 1, 0])
     assert cm.matrix[0, 0] == 1 and cm.matrix[1, 1] == 1 and cm.matrix[1, 0] == 1
+
+
+def test_postprocess_classes_filter():
+    """classes= drops boxes whose BEST class is outside the list (reference
+    predict.py:64-66 filters after argmax, no re-assignment)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tamtr_tpu.ops.nms import postprocess_predictions
+
+    pred = np.zeros((1, 3, 4 + 3), np.float32)
+    pred[0, :, :4] = [[0.2, 0.2, 0.1, 0.1], [0.5, 0.5, 0.1, 0.1], [0.8, 0.8, 0.1, 0.1]]
+    pred[0, 0, 4:] = [0.9, 0.1, 0.1]   # best cls 0
+    pred[0, 1, 4:] = [0.6, 0.8, 0.1]   # best cls 1 (cls 0 also passes conf)
+    pred[0, 2, 4:] = [0.1, 0.1, 0.7]   # best cls 2
+    b, s, l, v, _ = postprocess_predictions(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.6, max_det=3,
+        classes=(0,),
+    )
+    kept = np.asarray(l)[np.asarray(v)]
+    # only the box whose BEST class is 0 survives; box 1 is dropped, not
+    # re-assigned to its second-best allowed class
+    assert list(kept) == [0]
+    assert int(np.asarray(v).sum()) == 1
+
+
+def test_postprocess_single_cls():
+    """single_cls: all detections share class 0 and suppress each other."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tamtr_tpu.ops.nms import postprocess_predictions
+
+    # two heavily-overlapping boxes with different best classes
+    pred = np.zeros((1, 2, 4 + 2), np.float32)
+    pred[0, 0] = [0.5, 0.5, 0.2, 0.2, 0.9, 0.1]
+    pred[0, 1] = [0.51, 0.5, 0.2, 0.2, 0.1, 0.8]
+    b, s, l, v, _ = postprocess_predictions(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.6, max_det=2,
+    )
+    assert int(np.asarray(v).sum()) == 2  # multi-class: both survive
+    b, s, l, v, _ = postprocess_predictions(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.6, max_det=2,
+        single_cls=True,
+    )
+    assert int(np.asarray(v).sum()) == 1  # single-cls: NMS merges them
+    assert list(np.asarray(l)[np.asarray(v)]) == [0]
