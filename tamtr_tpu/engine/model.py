@@ -1245,9 +1245,25 @@ class Engine:
         return tuner(train_fn, base_hyp=base_hyp, iterations=iterations)
 
     def load(self, ckpt_path: str, nc: Optional[int] = None, names: Optional[List[str]] = None) -> "Engine":
-        """Load weights from an orbax checkpoint (metadata supplies nc/names)."""
+        """Load weights from an orbax checkpoint (metadata supplies nc/names).
+
+        Bare known asset names (e.g. 'TAM_TR.pt') resolve through
+        `utils/downloads.attempt_download_asset`; an unreachable asset
+        raises HUBModelError (reference `errors.py` semantics)."""
         from tamtr_tpu.engine.checkpoint import load_checkpoint_raw
 
+        p = Path(ckpt_path)
+        if not p.exists() and p.name == str(ckpt_path):  # bare asset name
+            from tamtr_tpu.utils.downloads import ASSETS_NAMES, attempt_download_asset
+            from tamtr_tpu.utils.errors import HUBModelError
+
+            if p.name in ASSETS_NAMES:
+                try:
+                    ckpt_path = attempt_download_asset(ckpt_path)
+                except ConnectionError as e:
+                    raise HUBModelError(
+                        f"could not fetch asset {p.name!r}: {e}"
+                    ) from e
         state, meta = load_checkpoint_raw(ckpt_path)
         self.state = state
         nc = nc or meta.get("nc")

@@ -46,3 +46,15 @@ def test_hub_model_error():
 
     with pytest.raises(HUBModelError, match="check model URL"):
         raise HUBModelError()
+
+
+def test_engine_load_bare_asset_raises_hub_error():
+    """A bare known asset name that cannot be fetched raises HUBModelError
+    (zero-egress image; reference errors.py semantics)."""
+    import pytest
+
+    from tamtr_tpu.engine.model import Engine
+    from tamtr_tpu.utils.errors import HUBModelError
+
+    with pytest.raises(HUBModelError, match="TAM_TR.pt"):
+        Engine().load("TAM_TR.pt")
