@@ -50,6 +50,50 @@ class TAMTR:
         """Export weights (orbax / savedmodel via jax2tf / tflite / npz)."""
         return self._lazy_engine().export(fmt, **kwargs)
 
+    def info(self, imgsz: int = 640, nc: int = 80) -> str:
+        """Model summary: layers / params / GFLOPs (reference
+        `BaseModel.info` -> `torch_utils.model_info`; FLOPs come from
+        XLA's own cost analysis instead of thop)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tamtr_tpu.nn.graph import TAMTRModel
+        from tamtr_tpu.utils.profiler import flops_of
+
+        eng = self._lazy_engine()
+        model = eng.model or TAMTRModel.from_yaml(self.model_cfg, nc=nc)
+        img = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+        # text dim = head hidden dim (contrastive heads dot text directly;
+        # 512 = CLIP dim on the full model, smaller on nano/mid configs)
+        hd = model.head_args[1] if len(model.head_args) > 1 else 512
+        txt = jnp.zeros((1, model.nc, int(hd)), jnp.float32)
+        rngs = {"params": jax.random.PRNGKey(0), "cdn": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(0)}
+        variables = (
+            eng._variables_from(eng.state)
+            if eng.state is not None
+            else jax.eval_shape(lambda: model.init(rngs, img, txt, None, False))
+        )
+        n_params = sum(
+            int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables)
+        )
+        n_layers = len(model.specs) + 1  # graph layers + head
+        cost = None
+        if eng.state is not None:
+            cost = flops_of(
+                lambda v: model.apply(v, img, txt, None, False)["pred"], variables
+            )
+        gflops = f", {cost['gflops']:.1f} GFLOPs @ {imgsz}px" if cost else ""
+        summary = (
+            f"{type(self).__name__}({self.model_cfg}): {n_layers} layers, "
+            f"{n_params / 1e6:.1f}M params{gflops}"
+        )
+        from tamtr_tpu.utils.log import LOGGER
+
+        LOGGER.info(summary)
+        return summary
+
     def load(self, weights: str, **kwargs: Any) -> "TAMTR":
         """Load a trained checkpoint for val/predict."""
         self._lazy_engine().load(weights, **kwargs)

@@ -549,3 +549,11 @@ def test_get_cfg_custom_yaml_override(tmp_path):
     # explicit k=v wins over the custom yaml
     c2 = get_cfg(overrides={"cfg": str(p), "lr0": 0.25})
     assert c2.lr0 == 0.25 and c2.batch == 3
+
+
+def test_facade_info_summary():
+    """TAMTR.info() reports layers + params (reference BaseModel.info)."""
+    from tamtr_tpu.api import TAMTR
+
+    s = TAMTR("tamtr-nano.yaml").info(imgsz=64, nc=10)
+    assert "42 layers" in s and "3.4M params" in s
