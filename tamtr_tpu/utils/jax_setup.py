@@ -25,7 +25,26 @@ def setup_jax(cache_dir: str | None = None) -> None:
     try:
         # per-backend subdirectory: a cache shared between the TPU and CPU
         # runtimes aborts on executable deserialization
-        cache = str(Path(base) / jax.default_backend())
+        backend = jax.default_backend()
+        sub = backend
+        if backend == "cpu":
+            # XLA:CPU AOT results embed the COMPILING host's CPU features;
+            # loading them on a host with different features warns "could
+            # lead to execution errors such as SIGILL" (observed as a
+            # crashed test-suite process). Key the cpu cache by a hash of
+            # this host's feature flags so artifacts never cross hosts.
+            import hashlib
+
+            try:
+                flags = next(
+                    l for l in open("/proc/cpuinfo") if l.startswith("flags")
+                )
+            except Exception:
+                import platform
+
+                flags = platform.processor() or "unknown"
+            sub = f"cpu-{hashlib.sha1(flags.encode()).hexdigest()[:8]}"
+        cache = str(Path(base) / sub)
         Path(cache).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
