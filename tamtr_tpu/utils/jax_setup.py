@@ -17,6 +17,15 @@ def setup_jax(cache_dir: str | None = None) -> None:
     global _DONE
     if _DONE:
         return
+    if os.environ.get("TAMTR_JAX_CACHE", "1") == "0":
+        # Escape hatch for the multichip dryrun: a cold compile is more
+        # deterministic than deserializing an AOT artifact that may have been
+        # produced by a host with a different XLA target config (observed as
+        # "could lead to execution errors such as SIGILL" warnings and, worst
+        # case, one device thread stalling long enough to starve a CPU
+        # collective rendezvous).
+        _DONE = True
+        return
     import jax
 
     base = cache_dir or os.environ.get(
