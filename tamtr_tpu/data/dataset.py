@@ -81,6 +81,8 @@ class DetectionDataset:
         class_texts: Optional[Sequence[Sequence[str]]] = None,
         random_text: bool = False,
         cache: "bool | str" = False,
+        classes: Optional[Sequence[int]] = None,
+        single_cls: bool = False,
     ) -> None:
         self.imgsz = imgsz
         self.augment = augment
@@ -96,6 +98,7 @@ class DetectionDataset:
             raise FileNotFoundError(f"no images found under {img_dir}")
         self.label_files = [_img2label_path(f) for f in self.im_files]
         self.labels = self._load_labels(cache_labels)
+        self._update_labels(classes, single_cls)
         self._rng = np.random.default_rng(seed)
         self._mosaic_on = self.aug.mosaic > 0
         # decoded-image cache (reference `BaseDataset.load_image` cache=ram|disk,
@@ -111,6 +114,32 @@ class DetectionDataset:
                 "cache=ram needs more free memory than available; caching disabled"
             )
             self.cache = ""
+
+    def _update_labels(self, classes: Optional[Sequence[int]], single_cls: bool) -> None:
+        """Mirror the reference's `BaseDataset.update_labels`
+        (`data/base.py:125-141`): with `classes` set, keep only GT rows whose
+        class is in the included set (no remap); with `single_cls`, zero every
+        GT class. Applied AFTER the label cache loads so the npz cache stays
+        unfiltered. Without this, val under single_cls/classes compares
+        filtered predictions against unfiltered GT and mAP collapses
+        (pred cls 0 vs original gt classes / filtered-out gts counted as FNs).
+        """
+        if classes is None and not single_cls:
+            return
+        include = np.asarray(list(classes), np.int32) if classes is not None else None
+        for lab in self.labels:
+            if include is not None:
+                j = np.isin(lab["cls"], include)
+                lab["cls"] = lab["cls"][j]
+                lab["xywhn"] = lab["xywhn"][j]
+                if "segments" in lab:
+                    lab["segments"] = [
+                        s for s, keep in zip(lab["segments"], j) if keep
+                    ]
+                if "kpts" in lab:
+                    lab["kpts"] = lab["kpts"][j]
+            if single_cls:
+                lab["cls"] = np.zeros_like(lab["cls"])
 
     def _check_cache_ram(self, safety: float = 1.3) -> bool:
         """Estimated decoded-set size must fit in ~70% of free RAM

@@ -98,10 +98,13 @@ class Results:
         )
 
     def save(self, path: str | Path) -> None:
-        import cv2
+        from tamtr_tpu.utils.patches import imwrite
 
         Path(path).parent.mkdir(parents=True, exist_ok=True)
-        cv2.imwrite(str(path), self.plot())
+        # unicode-safe write; cv2.imwrite returns False silently on non-ASCII
+        # paths on some platforms — surface the failure (ADVICE r4 low#4)
+        if not imwrite(str(path), self.plot()):
+            raise OSError(f"failed to write annotated image to {path}")
 
     def save_txt(self, path: str | Path, save_conf: bool = False) -> None:
         """YOLO-format lines: cls cx cy w h [conf] normalized to orig_shape."""

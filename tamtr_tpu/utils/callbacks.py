@@ -67,8 +67,13 @@ def add_tensorboard(callbacks: "Callbacks", log_dir: str) -> bool:
                 pass
 
     def on_val_end(engine, metrics):
-        step = getattr(engine, "_tb_val_step", 0)
-        engine._tb_val_step = step + 1
+        # key by the training epoch (set by the train loop) so val scalars
+        # align with on_fit_epoch_end's; standalone val falls back to a
+        # private counter (ADVICE r4 low#5)
+        step = getattr(engine, "_cur_epoch", None)
+        if step is None:
+            step = getattr(engine, "_tb_val_step", 0)
+            engine._tb_val_step = step + 1
         for k, v in metrics.items():
             try:
                 writer.add_scalar(f"val/{k}", float(v), step)
@@ -117,8 +122,13 @@ def add_wandb(callbacks: "Callbacks", project: str = "tamtr_tpu", run_name: str 
             pass
 
     def on_val_end(engine, metrics):
-        run.log({f"val/{k}": v for k, v in metrics.items()
-                 if isinstance(v, (int, float))})
+        # explicit step=epoch: auto-incremented steps interleaved with the
+        # step=epoch logs of on_fit_epoch_end violate wandb's monotonic-step
+        # requirement and drop the epoch logs (ADVICE r4 low#5)
+        payload = {f"val/{k}": v for k, v in metrics.items()
+                   if isinstance(v, (int, float))}
+        epoch = getattr(engine, "_cur_epoch", None)
+        run.log(payload, step=epoch) if epoch is not None else run.log(payload)
 
     def on_train_end(engine, metrics=None, run_dir=None):
         # final metrics summary + results curves image (reference wb.py)

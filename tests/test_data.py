@@ -313,3 +313,29 @@ def test_stream_newest_drops_stale_frames():
     assert got[-1] == 200  # final frame always seen
     assert len(got) < 200  # stale frames were dropped
     assert got == sorted(got)  # monotonically newer
+
+
+def test_update_labels_classes_and_single_cls(synth_dataset):
+    """classes=/single_cls= filter GROUND TRUTH like the reference's
+    BaseDataset.update_labels (base.py:125-141): classes keeps only included
+    rows (no remap), single_cls zeroes every cls — and the npz label cache
+    stays unfiltered (filter applies after cache load)."""
+    full = DetectionDataset(synth_dataset / "images", imgsz=160)
+    all_cls = np.concatenate([l["cls"] for l in full.labels])
+    present = sorted(set(all_cls.tolist()))
+    assert len(present) > 2
+    keep = present[:2]
+    ds = DetectionDataset(synth_dataset / "images", imgsz=160, classes=keep)
+    got = np.concatenate([l["cls"] for l in ds.labels])
+    assert set(got.tolist()) <= set(keep)
+    assert len(got) == int(np.isin(all_cls, keep).sum())
+    for l in ds.labels:
+        assert len(l["cls"]) == len(l["xywhn"])
+    sc = DetectionDataset(synth_dataset / "images", imgsz=160, single_cls=True)
+    for l, lf in zip(sc.labels, full.labels):
+        assert (l["cls"] == 0).all() and len(l["cls"]) == len(lf["cls"])
+    # cache not poisoned: a fresh unfiltered dataset still sees everything
+    again = DetectionDataset(synth_dataset / "images", imgsz=160)
+    np.testing.assert_array_equal(
+        np.concatenate([l["cls"] for l in again.labels]), all_cls
+    )

@@ -58,6 +58,14 @@ def test_engine_train_and_val(synth_root):
     preds = eng.predict(str(synth_root.parent / "val" / "images"), imgsz=64, conf=0.01)
     assert len(preds) == 4
     assert all("boxes" in p and "scores" in p for p in preds)
+    # Python-API predict without save= has NO disk side effects (reference
+    # save=is_cli; ADVICE r4 medium#2): no annotated copies anywhere under
+    # the run project or a cwd-relative runs/
+    import pathlib
+
+    for d in (synth_root.parent / "runs", pathlib.Path("runs")):
+        if d.exists():
+            assert not [p for p in d.rglob("im*.jpg")], f"predict wrote files under {d}"
 
     # annotated-video output (reference predictor save path): predict and
     # track on a synthetic mp4 both write a playable annotated video
