@@ -139,20 +139,26 @@ class Engine:
             )
         n_avail = len(jax.devices())
         zero = int(cfg.fsdp or 1) > 1  # fsdp>1: ZeRO-1 over the data axis
-        candidates = [d for d in range(1, n_avail + 1) if cfg.batch % d == 0]
+        sp = max(int(cfg.sp or 1), 1)  # sp>1: 2-D (data, sp) mesh
+        candidates = [
+            d for d in range(1, n_avail + 1)
+            if d % sp == 0 and cfg.batch % (d // sp) == 0
+        ]
         if cfg.n_devices:
             n_dev = cfg.n_devices
         elif candidates:
             n_dev = max(candidates)
         else:
             raise ValueError(
-                f"no device count in 1..{n_avail} divides batch {cfg.batch}; "
-                f"set batch to a multiple of the device count or pass n_devices="
+                f"no device count in 1..{n_avail} divides batch {cfg.batch} "
+                f"(with sp={sp}); set batch to a multiple of the data-parallel "
+                f"device count or pass n_devices="
             )
-        mesh = make_mesh(n_dev)
-        if cfg.batch % n_dev:
+        mesh = make_mesh(n_dev, sp=sp)
+        n_data = n_dev // sp
+        if cfg.batch % n_data:
             raise ValueError(
-                f"batch {cfg.batch} must divide over {n_dev} data-parallel devices"
+                f"batch {cfg.batch} must divide over {n_data} data-parallel devices"
             )
 
         aug = AugConfig(
@@ -173,6 +179,7 @@ class Engine:
             class_texts=[str(n).split("/") for n in self.names],
             random_text=probe_model.uses_text,
             cache=cfg.cache,
+            classes=cfg.classes, single_cls=cfg.single_cls,
         )
         loader = build_loader(
             train_ds, cfg.batch, max_gt=cfg.max_gt, seed=cfg.seed, workers=cfg.workers,
@@ -203,6 +210,13 @@ class Engine:
             loss_callable=self._loss_callable_for(model, cfg, nc), mesh=mesh,
             zero=zero,
         )
+        if sp > 1:
+            # route SS2D scans sequence-parallel over mesh['sp'] when the
+            # step traces (trace-time context; stays active for this train)
+            from tamtr_tpu.nn.ssm import sequence_parallel
+
+            self._sp_ctx = sequence_parallel(mesh)
+            self._sp_ctx.__enter__()
 
         repl, bsh = replicated(mesh), batch_sharding(mesh)
         ssh = train_state_shardings(mesh, state, zero=zero)  # ZeRO flat vectors
@@ -255,6 +269,7 @@ class Engine:
         self.callbacks.fire("on_train_start", self)
         metrics_out: Dict[str, float] = {}
         for epoch in range(start_epoch, cfg.epochs):
+            self._cur_epoch = epoch  # val callbacks key their logs by this
             self.callbacks.fire("on_train_epoch_start", self, epoch)
             if cfg.close_mosaic and epoch == cfg.epochs - cfg.close_mosaic:
                 train_ds.close_mosaic()
@@ -366,6 +381,9 @@ class Engine:
                 signal.signal(sig, h)
             except ValueError:
                 pass
+        if getattr(self, "_sp_ctx", None) is not None:
+            self._sp_ctx.__exit__(None, None, None)
+            self._sp_ctx = None
         self.state = state
         if cfg.plots and jax.process_index() == 0:
             try:
@@ -483,6 +501,7 @@ class Engine:
         LOGGER.info(f"classify train: nc={nc} imgsz={imgsz} batch={cfg.batch}")
         self.callbacks.fire("on_train_start", self)
         for epoch in range(cfg.epochs):
+            self._cur_epoch = epoch
             loader.set_epoch(epoch)
             t0 = time.time()
             n_steps = 0
@@ -756,7 +775,13 @@ class Engine:
         self.callbacks.fire("on_val_start", self)
         split_dir = data.get(cfg.split) or data.get("val")
         task = {"Segment": "segment", "Pose": "pose"}.get(model.head_type, "detect")
-        ds = DetectionDataset(split_dir, imgsz=cfg.imgsz, augment=False, task=task)
+        # classes/single_cls filter GT too (reference BaseDataset.update_labels,
+        # base.py:125-141) — predictions are filtered in postprocess; without
+        # the GT side, val mAP collapses (ADVICE r4 medium#1)
+        ds = DetectionDataset(
+            split_dir, imgsz=cfg.imgsz, augment=False, task=task,
+            classes=cfg.classes, single_cls=cfg.single_cls,
+        )
         variables = self._variables_from(state, use_ema=use_ema)
         model, variables = self._resolve_eval_model(model, variables, cfg)
         conf = cfg.conf if cfg.conf is not None else 0.4
@@ -934,6 +959,11 @@ class Engine:
     # ---------------------------------------------------------------- predict
     def predict(self, source: Any, **overrides: Any) -> List[Dict[str, np.ndarray]]:
         cfg = get_cfg(self.cfg, overrides=overrides)
+        # Python-API predict has NO disk side effects unless asked: the
+        # reference sets save=is_cli (engine/model.py:230), and Config.save's
+        # True default is the train-checkpoint flag — only an explicit
+        # save= override writes annotated output here (ADVICE r4 medium#2)
+        cfg.save = bool(overrides.get("save", False))
         import cv2
 
         assert self.model is not None and self.state is not None, "load/train a model first"
@@ -1109,10 +1139,20 @@ class Engine:
         from tamtr_tpu.engine.results import Results
         from tamtr_tpu.trackers.track import make_tracker, update_result_with_tracks
 
+        # BOTSORT knobs ride the overrides (reference botsort.yaml keys);
+        # popped before get_cfg so Config never sees them
+        tracker_args = {
+            k: overrides.pop(k)
+            for k in ("gmc_method", "with_reid", "proximity_thresh",
+                      "appearance_thresh", "track_buffer", "match_thresh")
+            if k in overrides
+        }
         cfg = get_cfg(self.cfg, overrides=overrides)
+        # same no-side-effect default as predict (save=is_cli in the reference)
+        cfg.save = bool(overrides.get("save", False))
         assert self.model is not None and self.state is not None, "load/train a model first"
         if not persist or getattr(self, "_tracker", None) is None:
-            self._tracker = make_tracker(tracker)
+            self._tracker = make_tracker(tracker, **tracker_args)
         variables = self._variables_from(self.state)
         conf = cfg.conf if cfg.conf is not None else 0.25
         eval_step = self._get_eval_step(self.model, conf, cfg.iou, cfg.max_det, cfg.imgsz)
@@ -1157,7 +1197,7 @@ class Engine:
                 orig_shape=(oh, ow),
                 orig_img=frame,
             )
-            update_result_with_tracks(r, self._tracker)
+            update_result_with_tracks(r, self._tracker, frame=frame)
             if writer is not None:
                 writer.write(r)
             results.append(r)
@@ -1264,6 +1304,30 @@ class Engine:
                     raise HUBModelError(
                         f"could not fetch asset {p.name!r}: {e}"
                     ) from e
+        if str(ckpt_path).endswith(".pt"):
+            # reference assets are torch pickles orbax cannot parse — convert
+            # through the weight porter (tools/port_torch_weights) when
+            # available, else fail with an actionable message instead of an
+            # opaque orbax error (ADVICE r4 low#3)
+            ported = Path(ckpt_path).with_suffix("")
+            ported = ported.parent / (ported.name + "_orbax")
+            if not ported.exists():
+                try:
+                    import sys as _sys
+
+                    _sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+                    from tools.port_torch_weights import port as _port
+
+                    _port(str(ckpt_path), str(ported), model_yaml=self.model_cfg)
+                except Exception as e:
+                    raise ValueError(
+                        f"{ckpt_path!r} is a torch .pt checkpoint; automatic "
+                        f"conversion failed ({type(e).__name__}: {e}). Convert "
+                        "it explicitly with "
+                        "`python tools/port_torch_weights.py <file>.pt <out_dir>` "
+                        "and load the resulting orbax directory."
+                    ) from e
+            ckpt_path = str(ported)
         state, meta = load_checkpoint_raw(ckpt_path)
         self.state = state
         nc = nc or meta.get("nc")
