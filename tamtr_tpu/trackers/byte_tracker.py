@@ -37,7 +37,8 @@ def xyah2xyxy(m: np.ndarray) -> np.ndarray:
 class Track:
     _count = 0
 
-    def __init__(self, box_xyxy: np.ndarray, score: float, cls: int):
+    def __init__(self, box_xyxy: np.ndarray, score: float, cls: int,
+                 feat: Optional[np.ndarray] = None):
         self.kf = KalmanFilterXYAH()
         self.mean, self.cov = self.kf.initiate(xyxy2xyah(box_xyxy))
         self.score = float(score)
@@ -47,6 +48,23 @@ class Track:
         self.track_id = 0
         self.frame_id = 0
         self.start_frame = 0
+        # appearance branch (reference BOTrack.update_features,
+        # `trackers/bot_sort.py:56-66`): EMA-smoothed L2-normalized feature
+        self.curr_feat: Optional[np.ndarray] = None
+        self.smooth_feat: Optional[np.ndarray] = None
+        self.feat_alpha = 0.9
+        if feat is not None:
+            self.update_features(feat)
+
+    def update_features(self, feat: np.ndarray) -> None:
+        feat = np.asarray(feat, np.float32)
+        feat = feat / max(float(np.linalg.norm(feat)), 1e-12)
+        self.curr_feat = feat
+        if self.smooth_feat is None:
+            self.smooth_feat = feat
+        else:
+            sf = self.feat_alpha * self.smooth_feat + (1 - self.feat_alpha) * feat
+            self.smooth_feat = sf / max(float(np.linalg.norm(sf)), 1e-12)
 
     @staticmethod
     def next_id() -> int:
@@ -69,16 +87,20 @@ class Track:
         self.frame_id = frame_id
         self.start_frame = frame_id
 
-    def update(self, box_xyxy: np.ndarray, score: float, cls: int, frame_id: int) -> None:
+    def update(self, box_xyxy: np.ndarray, score: float, cls: int, frame_id: int,
+               feat: Optional[np.ndarray] = None) -> None:
         self.mean, self.cov = self.kf.update(self.mean, self.cov, xyxy2xyah(box_xyxy))
         self.state = TRACKED
         self.is_activated = True
         self.score = float(score)
         self.cls = int(cls)
         self.frame_id = frame_id
+        if feat is not None:
+            self.update_features(feat)
 
-    def re_activate(self, box_xyxy: np.ndarray, score: float, cls: int, frame_id: int) -> None:
-        self.update(box_xyxy, score, cls, frame_id)
+    def re_activate(self, box_xyxy: np.ndarray, score: float, cls: int, frame_id: int,
+                    feat: Optional[np.ndarray] = None) -> None:
+        self.update(box_xyxy, score, cls, frame_id, feat=feat)
         self.track_id = self.track_id or Track.next_id()
 
     def mark_lost(self) -> None:
@@ -132,6 +154,18 @@ class BYTETracker:
         self.max_lost = track_buffer
         self.fuse_score = fuse_score
 
+    def _feat_of(self, i: int) -> Optional[np.ndarray]:
+        """Appearance feature for detection i this frame (BOTSORT overrides)."""
+        return None
+
+    def _stage1_cost(self, pool: List[Track], boxes_hi: np.ndarray,
+                     scores_hi: np.ndarray, hi_idx: np.ndarray) -> np.ndarray:
+        """First-association cost matrix (BOTSORT fuses ReID distances here)."""
+        cost = iou_distance(pool, boxes_hi)
+        if self.fuse_score and cost.size:
+            cost = 1.0 - (1.0 - cost) * scores_hi[None, :]
+        return cost
+
     def update(self, boxes: np.ndarray, scores: np.ndarray, classes: np.ndarray) -> np.ndarray:
         """One frame. boxes (N,4) xyxy. Returns (M, 7): x1,y1,x2,y2,id,score,cls."""
         self.frame_id += 1
@@ -144,17 +178,17 @@ class BYTETracker:
             t.predict()
 
         # stage 1: high-confidence detections
-        cost = iou_distance(pool, boxes[hi])
-        if self.fuse_score and cost.size:
-            cost = 1.0 - (1.0 - cost) * scores[hi][None, :]
-        m1, ut, ud = linear_assignment(cost, self.match_thresh)
         hi_idx = np.nonzero(hi)[0]
+        cost = self._stage1_cost(pool, boxes[hi], scores[hi], hi_idx)
+        m1, ut, ud = linear_assignment(cost, self.match_thresh)
         for r, c in m1:
             i = hi_idx[c]
             if pool[r].state == TRACKED:
-                pool[r].update(boxes[i], scores[i], classes[i], self.frame_id)
+                pool[r].update(boxes[i], scores[i], classes[i], self.frame_id,
+                               feat=self._feat_of(i))
             else:
-                pool[r].re_activate(boxes[i], scores[i], classes[i], self.frame_id)
+                pool[r].re_activate(boxes[i], scores[i], classes[i], self.frame_id,
+                                    feat=self._feat_of(i))
                 self.lost = [t for t in self.lost if t is not pool[r]]
                 self.tracked.append(pool[r])
 
@@ -190,7 +224,7 @@ class BYTETracker:
         for c in ud3:
             i = left[c]
             if scores[i] >= self.new_thresh:
-                t = Track(boxes[i], scores[i], classes[i])
+                t = Track(boxes[i], scores[i], classes[i], feat=self._feat_of(i))
                 t.activate(self.frame_id)
                 self.tracked.append(t)
 

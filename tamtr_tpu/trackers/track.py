@@ -26,17 +26,23 @@ def make_tracker(name: str = "bytetrack", **kwargs: Any):
     return TRACKER_MAP[stem](**kwargs)
 
 
-def update_result_with_tracks(result, tracker) -> None:
+def update_result_with_tracks(result, tracker, frame: Optional[np.ndarray] = None) -> None:
     """Feed one frame's detections to the tracker; attach track ids in place.
 
     After the call `result.track_ids` holds one id per kept box (tracker
-    output order), and result.boxes holds the tracked boxes.
+    output order), and result.boxes holds the tracked boxes. `frame` (BGR)
+    enables BOTSORT's camera-motion compensation and ReID appearance branch;
+    plain BYTETracker ignores it.
     """
     b = result.boxes
+    kwargs = {}
+    if frame is not None and isinstance(tracker, BOTSORT):
+        kwargs["frame_bgr"] = frame
     out = tracker.update(
         np.asarray(b.xyxy, np.float32),
         np.asarray(b.conf, np.float32),
         np.asarray(b.cls, np.float32),
+        **kwargs,
     )
     if len(out) == 0:
         result.track_ids = np.zeros((0,), np.int64)

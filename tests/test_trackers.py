@@ -73,3 +73,141 @@ def test_make_tracker_and_result_update():
 
     with pytest.raises(ValueError):
         make_tracker("nope")
+
+
+def _moving_scene(t, swap=False):
+    """Two colored squares crossing paths. Returns (frame_bgr, boxes)."""
+    import cv2
+
+    frame = np.full((200, 400, 3), 40, np.uint8)
+    xa = 40 + t * 30          # red, moving right
+    xb = 280 - t * 30         # blue, moving left
+    if swap:
+        xa, xb = xb, xa
+    cv2.rectangle(frame, (xa, 80), (xa + 40, 120), (0, 0, 255), -1)
+    cv2.rectangle(frame, (xb, 82), (xb + 40, 122), (255, 0, 0), -1)
+    boxes = np.array([[xa, 80, xa + 40, 120], [xb, 82, xb + 40, 122]], np.float32)
+    return frame, boxes
+
+
+def test_botsort_reid_resolves_identity_swap():
+    """with_reid=True changes association on an identity-swap sequence: two
+    static objects exchange positions (12 px apart, inside the reference's
+    proximity gate `bot_sort.py:181`); IoU-only association follows the
+    POSITION (ids swap), the appearance branch follows the OBJECT (ids
+    stick). A perfect-ReID encoder is injected (row i of each frame is
+    object i) — this isolates the association logic; the default patch
+    encoder is covered by test_patch_appearance_encoder."""
+    from tamtr_tpu.trackers.bot_sort import BOTSORT
+
+    e_obj = np.eye(2, 8, dtype=np.float32)  # object-constant embeddings
+
+    def perfect_encoder(frame, boxes):
+        return e_obj[: len(boxes)]
+
+    pos_a, pos_b = 100.0, 112.0
+    scores = np.array([0.9, 0.9], np.float32)
+    classes = np.zeros(2, np.float32)
+    frame = np.zeros((200, 300, 3), np.uint8)
+
+    def boxes_at(xa, xb):
+        return np.array([[xa, 80, xa + 40, 120], [xb, 80, xb + 40, 120]], np.float32)
+
+    def run(with_reid):
+        tr = BOTSORT(with_reid=with_reid, gmc_method="none",
+                     encoder=perfect_encoder)
+        ids = []
+        for t in range(5):  # static: velocity settles to ~0
+            out = tr.update(boxes_at(pos_a, pos_b), scores, classes, frame)
+        id_a0 = int(out[np.argmin(np.abs(out[:, 0] - pos_a)), 4])
+        out = tr.update(boxes_at(pos_b, pos_a), scores, classes, frame)  # swap
+        # object A (row 0) is now AT pos_b
+        id_a1 = int(out[np.argmin(np.abs(out[:, 0] - pos_b)), 4])
+        return id_a0, id_a1
+
+    a0, a1 = run(True)
+    assert a0 == a1, f"ReID should keep object A's id through the swap ({a0} != {a1})"
+    b0, b1 = run(False)
+    assert b0 != b1, "IoU-only association should follow position (id swap)"
+
+
+def test_patch_appearance_encoder():
+    """The default patch encoder separates differently-colored objects by a
+    wide cosine margin (same-object similarity >> cross-object)."""
+    import cv2
+
+    from tamtr_tpu.trackers.bot_sort import patch_appearance_encoder
+
+    frame = np.full((200, 400, 3), 40, np.uint8)
+    cv2.rectangle(frame, (50, 80), (90, 120), (0, 0, 255), -1)
+    cv2.rectangle(frame, (250, 80), (290, 120), (255, 0, 0), -1)
+    boxes = np.array([[50, 80, 90, 120], [250, 80, 290, 120]], np.float32)
+    f = patch_appearance_encoder(frame, boxes)
+    same = float(f[0] @ f[0])
+    cross = float(f[0] @ f[1])
+    assert same > 0.99 and cross < 0.5
+
+
+def test_botsort_feature_smoothing():
+    from tamtr_tpu.trackers.byte_tracker import Track
+
+    tr = Track(np.array([0.0, 0, 10, 10]), 0.9, 0, feat=np.array([1.0, 0.0]))
+    assert np.allclose(tr.smooth_feat, [1, 0])
+    tr.update_features(np.array([0.0, 1.0]))
+    # EMA 0.9: smooth = normalize(0.9*[1,0] + 0.1*[0,1])
+    exp = np.array([0.9, 0.1]) / np.linalg.norm([0.9, 0.1])
+    assert np.allclose(tr.smooth_feat, exp)
+
+
+def test_gmc_methods_recover_translation():
+    """Every GMC method estimates a synthetic camera pan to within a couple
+    of pixels (reference `gmc.py:11-302` method set). ECC is tested at a
+    4 px pan / downscale=1: it has no image pyramid (same limitation as the
+    reference — `gmc.py` "TODO: consider using pyramids"), so its
+    convergence basin is a few pixels."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    base = (rng.random((240, 320)) * 255).astype(np.uint8)
+    base = cv2.GaussianBlur(base, (5, 5), 2)
+
+    def pan_pair(shift):
+        frames = []
+        for s in (0, shift):
+            M = np.float32([[1, 0, s], [0, 1, 0]])
+            moved = cv2.warpAffine(base, M, (320, 240))
+            frames.append(cv2.cvtColor(moved, cv2.COLOR_GRAY2BGR))
+        return frames
+
+    from tamtr_tpu.trackers.bot_sort import GMC
+
+    frames = pan_pair(8)
+    for method, (shift, fr) in (
+        ("sparseOptFlow", (8, frames)),
+        ("orb", (8, frames)),
+        ("sift", (8, frames)),
+        ("ecc", (4, pan_pair(4))),
+    ):
+        g = GMC(method, downscale=1)
+        g.apply(fr[0])
+        H = g.apply(fr[1])
+        assert abs(H[0, 2] - shift) < 2.5, f"{method}: tx={H[0, 2]}"
+        assert abs(H[1, 2]) < 2.5, f"{method}: ty={H[1, 2]}"
+    # 'none' returns identity
+    g = GMC("none")
+    assert np.allclose(g.apply(frames[1]), np.eye(2, 3))
+    import pytest
+
+    with pytest.raises(ValueError):
+        GMC("bogus")
+
+
+def test_botsort_gmc_method_selectable():
+    rng = np.random.default_rng(1)
+    frame = (rng.random((120, 160, 3)) * 255).astype(np.uint8)
+    for method in ("orb", "ecc", "none"):
+        tr = BOTSORT(gmc_method=method)
+        boxes = np.array([[10.0, 10, 50, 50]], np.float32)
+        out = tr.update(boxes, np.array([0.9], np.float32),
+                        np.zeros(1, np.float32), frame)
+        assert out.shape[1] == 7
