@@ -157,24 +157,26 @@ weighted_gather.defvjp(_fwd, _bwd)
 # corners carry zero weight, so they may land anywhere in-bounds: pair
 # starts are clamped to column [0, W-1] (an x0=-1 pair shifts to column 0
 # with its weights swapped — both of its corners clip to column 0 anyway,
-# so the forward is unchanged), and the accumulator gets _ROW_PAD spare
-# rows so the (H-1, W-1) pair's second row lands in scratch instead of out
-# of bounds. The spare rows are cut by a contiguous (fusable) slice — an
-# earlier halo-padded (H+2, W+2) layout spent ~4 ms/call on the strided
+# so the forward is unchanged). A pair starting on the GLOBAL last row (its
+# second row would be out of bounds with structural weight 0) is shifted one
+# row up with its weights swapped by `bilinear_gather` — the same trick on
+# the other axis. r4 instead zero-padded the value block with _ROW_PAD spare
+# rows; at the r5 multi-level shapes that pad was a full copy of the 33.6k-
+# row value per decoder layer (0.82 ms/layer eval, bench_artifacts/r05) —
+# the swap costs one elementwise pass over the small idx/weight arrays.
+# An earlier halo-padded (H+2, W+2) layout spent ~4 ms/call on the strided
 # interior copy, more than the kernel saved. Raw kernel at the production
 # level-0 shape (G=32, 9600 pairs): 3.7 -> 2.8 ms vs row-at-a-time; full
 # 640px b4 train step 448 -> 425 ms.
 # ---------------------------------------------------------------------------
 
-_ROW_PAD = 8  # spare accumulator rows; >= 1 needed, 8 keeps fp32 tiling
-
 
 def _gather_pairs_kernel(
     idx_ref, wa_ref, wb_ref, value_ref, out_ref, *scratch, pairs_per_q: int
 ):
-    """One grid step g (= b*nh + h). idx/wa/wb (1, nU2) SMEM; value (L2, c)
-    VMEM (zero-padded with _ROW_PAD spare rows so the bottom-right pair's
-    second row reads scratch); out (Q, c) VMEM. Query q accumulates its
+    """One grid step g (= b*nh + h). idx/wa/wb (1, nU2) SMEM; value (L, c)
+    VMEM (pair indices pre-conditioned to [0, L-2] by `bilinear_gather`);
+    out (Q, c) VMEM. Query q accumulates its
     pairs_per_q = P*2 corner pairs in registers and stores once.
 
     bf16 value blocks ride HBM half-width but Mosaic can't prove alignment
@@ -232,8 +234,8 @@ def _gather_pairs_kernel_q2(
 
 
 def _gather_acc_pairs(idx2, wa, wb, value_pad, Q: int):
-    """idx2/wa/wb (G, nU2); value_pad (G, L2, c) any float dtype (L2 includes
-    _ROW_PAD zero rows) -> (G, Q, c) f32; nU2 = Q * pairs_per_q."""
+    """idx2/wa/wb (G, nU2) with idx2 in [0, L2-2]; value_pad (G, L2, c) any
+    float dtype -> (G, Q, c) f32; nU2 = Q * pairs_per_q."""
     G, nU2 = idx2.shape
     _, L2, c = value_pad.shape
     smem = pl.BlockSpec((None, 1, nU2), lambda g: (g, 0, 0), memory_space=pltpu.SMEM)
@@ -388,11 +390,17 @@ def bilinear_gather(value, idx4, w_pairs, idx2, P: int):
       here). When x0 < 0 the pair must be pre-swapped to (w_x1, 0) by the
       caller (see `ms_deform_attn_core`) so the valid corner rides slot 0.
     idx2: (B, Q*P*2, nh) int32 pair starts clip(y,0,H-1)*W + clip(x0,0,W-1);
-      rows idx2 and idx2+1 receive the two pair weights (idx2+1 may reach
-      row H*W for the bottom-right pixel — it lands in the accumulator's
-      spare rows with weight 0).
+      rows idx2 and idx2+1 receive the two pair weights. idx2+1 may reach
+      row L for the bottom-right pixel (with structural weight 0): such
+      pairs are shifted one row up with weights swapped here, so the
+      kernels never index past the value block and no spare pad rows are
+      needed.
     Returns (B, Q, nh, c) in value.dtype.
     """
+    L = value.shape[1]
+    at_end = idx2 >= L - 1
+    idx2 = jnp.where(at_end, L - 2, idx2)
+    w_pairs = jnp.where(at_end[..., None], w_pairs[..., ::-1], w_pairs)
     return _bilinear_fwd_impl(value, idx4, w_pairs, idx2, P)
 
 
@@ -406,14 +414,14 @@ def _pairs_to_grid(x, G, nU2):
     return x.transpose(0, 2, 1).reshape(G, nU2)
 
 
-def _value_pad_grid(value):
-    """(B, L, nh, c) -> (B*nh, L + _ROW_PAD, c), zero spare rows. Keeps the
-    model dtype: at 640px b8 the f32 copy alone was 550 MB per decoder layer
-    and tipped the bf16 b8 train step over HBM; the kernels upcast rows
-    in-register instead."""
+def _value_grid(value):
+    """(B, L, nh, c) -> (B*nh, L, c) head-major. Keeps the model dtype: at
+    640px b8 the f32 copy alone was 550 MB per decoder layer and tipped the
+    bf16 b8 train step over HBM; the kernels upcast rows in-register
+    instead. No spare pad rows: `bilinear_gather` shifts last-row pairs up
+    front, so indices stay in [0, L-2]."""
     B, L, nh, c = value.shape
-    v = value.transpose(0, 2, 1, 3).reshape(B * nh, L, c)
-    return jnp.concatenate([v, jnp.zeros((B * nh, _ROW_PAD, c), value.dtype)], axis=1)
+    return value.transpose(0, 2, 1, 3).reshape(B * nh, L, c)
 
 
 def _bilinear_fwd_impl(value, idx4, w_pairs, idx2, P):
@@ -424,7 +432,7 @@ def _bilinear_fwd_impl(value, idx4, w_pairs, idx2, P):
         G = B * nh
         w_g = w_pairs.astype(jnp.float32).transpose(3, 0, 2, 1).reshape(2, G, nU2)
         out = _gather_acc_pairs(
-            _pairs_to_grid(idx2, G, nU2), w_g[0], w_g[1], _value_pad_grid(value), Q
+            _pairs_to_grid(idx2, G, nU2), w_g[0], w_g[1], _value_grid(value), Q
         )
         return out.reshape(B, nh, Q, c).transpose(0, 2, 1, 3).astype(value.dtype)
     return _gather_fwd_impl(value, idx4, _w4_of_pairs(w_pairs), P * 4)
@@ -451,9 +459,9 @@ def _bilinear_bwd(P, res, dout):
         # one fused pass: dvalue scatter + per-pair value.dout dots (a
         # standalone XLA re-gather for dw would cost the full 32 ms gather)
         dv, dw_g = _scatter_dw_acc_pairs(
-            idx_g, w_g[0], w_g[1], _value_pad_grid(value), dout_g
+            idx_g, w_g[0], w_g[1], _value_grid(value), dout_g
         )
-        dv = dv[:, :L].reshape(B, nh, L, c).transpose(0, 2, 1, 3)
+        dv = dv.reshape(B, nh, L, c).transpose(0, 2, 1, 3)
         dw_pairs = dw_g.reshape(B, nh, nU2, 2).transpose(0, 2, 1, 3)
     else:
         w4 = _w4_of_pairs(w_pairs)

@@ -63,9 +63,20 @@ def ms_deform_attn_core(
     _, Q, _, nl, P, _ = sampling_locations.shape
     starts = np.cumsum([0] + [h * w for h, w in shapes])[:-1]
 
-    out = jnp.zeros((B, Q, nh, c), dtype=value.dtype)
+    # Per-level index/weight math (cheap elementwise on (B, Q, nh, P)); the
+    # indices are globalized by the level's static row offset so that ONE
+    # `bilinear_gather` over the full multi-level value replaces the r4
+    # per-level calls. This removes nl-1 kernel launches AND the per-level
+    # value slice/transpose/pad copies (the value layout pass now runs once
+    # per layer over Lv rows instead of once per level). A level's
+    # bottom-right pair may read/scatter its second row one row past the
+    # level boundary (into the next level's row 0, or the spare pad rows for
+    # the last level) — always with structural weight 0, so the forward sum
+    # is exact and the backward scatter adds zero there; the dw dot on a
+    # zero-weight slot is killed upstream by the `valid` mask product.
+    idx4_lvls, wp_lvls, idx2_lvls, swap_lvls = [], [], [], []
     for lvl, (H, W) in enumerate(shapes):
-        v = jax.lax.dynamic_slice_in_dim(value, int(starts[lvl]), H * W, axis=1)
+        start = int(starts[lvl])
         loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # (B, Q, nh, P, 2)
         w_att = attention_weights[:, :, :, lvl].astype(jnp.float32)  # (B, Q, nh, P)
         # grid_sample align_corners=False pixel mapping: p = loc * size - 0.5
@@ -85,7 +96,8 @@ def ms_deform_attn_core(
                 idx = (
                     jnp.clip(yi, 0, H - 1).astype(jnp.int32) * W
                     + jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-                )  # (B, Q, nh, P)
+                    + start
+                )  # (B, Q, nh, P) global rows
                 corners.append((idx, (wx * wy) * valid))
         # `bilinear_gather` is a custom_vjp Pallas op on TPU: the forward
         # gathers each bilinear corner PAIR as one (2, c) VMEM row load
@@ -97,22 +109,28 @@ def ms_deform_attn_core(
         # See `kernels/deform_scatter.py` for the pair layout contract.
         idx_all = jnp.stack([ci for ci, _ in corners], axis=-1)  # (B,Q,nh,P,4)
         w_all = jnp.stack([cw for _, cw in corners], axis=-1)  # (B,Q,nh,P,4)
-        idx4 = idx_all.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 4, nh)
+        idx4_lvls.append(idx_all.transpose(0, 1, 3, 4, 2))  # (B,Q,P,4,nh)
         w4 = (w_all * w_att[..., None]).transpose(0, 1, 3, 4, 2)  # (B,Q,P,4,nh)
-        w_pairs = w4.reshape(B, Q * P * 2, 2, nh).transpose(0, 1, 3, 2)
+        wp_lvls.append(w4.reshape(B, Q, P * 2, 2, nh).transpose(0, 1, 2, 4, 3))
         # pair starts (backward only): rows idx2, idx2+1 get the two pair
         # weights. x0=-1 pairs shift to column 0 with weights swapped — both
         # corners clip to column 0 there, so the forward sum is unchanged
         # and the invalid corner's zero weight lands harmlessly at column 1.
         xs = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
-        y0c = jnp.clip(y0, 0, H - 1).astype(jnp.int32) * W + xs
-        y1c = jnp.clip(y0 + 1, 0, H - 1).astype(jnp.int32) * W + xs
+        y0c = jnp.clip(y0, 0, H - 1).astype(jnp.int32) * W + xs + start
+        y1c = jnp.clip(y0 + 1, 0, H - 1).astype(jnp.int32) * W + xs + start
         idx2 = jnp.stack([y0c, y1c], axis=-1)  # (B,Q,nh,P,2)
-        idx2 = idx2.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 2, nh)
+        idx2_lvls.append(idx2.transpose(0, 1, 3, 4, 2))  # (B,Q,P,2,nh)
         swap = jnp.broadcast_to((x0 < 0)[..., None], x0.shape + (2,))
-        swap = swap.transpose(0, 1, 3, 4, 2).reshape(B, Q * P * 2, nh)
-        w_pairs = jnp.where(swap[..., None], w_pairs[..., ::-1], w_pairs)
-        out = out + bilinear_gather(v, idx4, w_pairs, idx2, P)
+        swap_lvls.append(swap.transpose(0, 1, 3, 4, 2))
+
+    # concat per-query across levels: pair u-order must be (q, lvl, p, s)
+    idx4 = jnp.concatenate(idx4_lvls, axis=2).reshape(B, Q * nl * P * 4, nh)
+    w_pairs = jnp.concatenate(wp_lvls, axis=2).reshape(B, Q * nl * P * 2, nh, 2)
+    idx2 = jnp.concatenate(idx2_lvls, axis=2).reshape(B, Q * nl * P * 2, nh)
+    swap = jnp.concatenate(swap_lvls, axis=2).reshape(B, Q * nl * P * 2, nh)
+    w_pairs = jnp.where(swap[..., None], w_pairs[..., ::-1], w_pairs)
+    out = bilinear_gather(value, idx4, w_pairs, idx2, nl * P)
     return out.reshape(B, Q, nh * c)
 
 
@@ -518,8 +536,10 @@ class ManbaWorldDecoder(nn.Module):
                 momentum=BN_MOMENTUM,
                 epsilon=BN_EPS,
                 name=f"input_proj{i}_bn",
-                dtype=jnp.float32,
-            )(p).astype(f.dtype)  # BN stats fp32; stream keeps compute dtype
+                # train: stats fp32; eval: activation dtype so the affine
+                # fuses into the conv (see nn/layers.py ConvBN note)
+                dtype=jnp.float32 if train else f.dtype,
+            )(p).astype(f.dtype)
             proj.append(p.reshape(B, -1, self.hd))
         flat = jnp.concatenate(proj, axis=1)  # (B, L, hd)
 

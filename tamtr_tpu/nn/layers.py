@@ -64,10 +64,18 @@ class ConvBN(nn.Module):
             dtype=x.dtype,
         )(x)
         dt = x.dtype
+        # Train: statistics and normalization in fp32 (activations cast back).
+        # Eval: compute in the activation dtype — the f32 round-trip around
+        # every BN blocked XLA from fusing the affine into the conv epilogue
+        # and showed up as ~2.5 ms/step of divide/multiply + cast traffic in
+        # the r4 trace (bench_artifacts/r04/NOTES.md). bf16 rounding of the
+        # per-channel scale equals what a manual conv+BN weight fold would
+        # introduce; f32 models are unchanged (dt == f32).
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=jnp.float32
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=jnp.float32 if train else dt,
         )(x)
-        x = x.astype(dt)  # BN statistics in fp32, activations stay in compute dtype
+        x = x.astype(dt)
         return nn.silu(x) if self.act else x
 
 
