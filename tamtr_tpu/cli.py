@@ -74,6 +74,11 @@ def parse_args(argv: List[str]):
 
 def main(argv: List[str] | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
+    # local crash-report file on unhandled exceptions (the zero-egress
+    # counterpart of the reference's set_sentry; gated on SETTINGS["sync"])
+    from tamtr_tpu.utils.crash import set_crash_reporting
+
+    set_crash_reporting()
     if argv and argv[0] == "settings":
         # `yolo settings [reset] [k=v ...]` (reference handle_yolo_settings,
         # `cfg/__init__.py:239-260`)

@@ -153,6 +153,12 @@ class Config:
     # the step all-gathers params once and reduce-scatters the flat
     # gradient. 1 = pure DP (replicated state, the reference's only mode).
     fsdp: int = 1
+    # sequence parallelism: sp>1 builds a 2-D ('data', 'sp') mesh — the
+    # batch shards over 'data', every SS2D token axis shards over 'sp'
+    # (two-phase blocked scan, parallel/seq_scan.py), and ZeRO flat vectors
+    # shard over both axes. For imagery large enough that one chip cannot
+    # hold a level-0 sequence (capability extension; reference is DP-only).
+    sp: int = 1
     bf16: bool = False
     val_interval: int = 1  # validate every N epochs (1 = reference behavior)
     # save `last` every N epochs (1 = reference behavior). Each save fetches

