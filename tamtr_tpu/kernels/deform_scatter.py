@@ -48,10 +48,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tamtr_tpu.kernels.selective_scan import _compiler_params, _interpret
+from tamtr_tpu.kernels.selective_scan import _compiler_params as _scan_params
+from tamtr_tpu.kernels.selective_scan import _interpret
 
 # Tests set this to force the Pallas backward (interpret mode) off-TPU.
 FORCE_PALLAS = False
+
+# The multi-level value block (33.6k rows at 640px) plus the backward's f32
+# widen scratches exceeds the default 64 MB scoped-VMEM budget at batch 8
+# (measured 82 MB); the v5e has 128 MB of VMEM, so grant these kernels a
+# larger scoped budget instead of splitting the block back per level.
+_DEFORM_VMEM = int(os.environ.get("TAMTR_DEFORM_VMEM", 112 * 1024 * 1024))
+
+
+def _compiler_params():
+    p = _scan_params()
+    if p is not None and getattr(p, "vmem_limit_bytes", None) is not None:
+        try:
+            import dataclasses
+
+            return dataclasses.replace(
+                p, vmem_limit_bytes=max(p.vmem_limit_bytes, _DEFORM_VMEM)
+            )
+        except Exception:
+            return p
+    return p
 
 
 def _use_pallas() -> bool:
