@@ -166,6 +166,57 @@ def unravel_for_model(model, nc: int, max_gt: Optional[int] = None) -> Callable:
     return unravel_for(shapes["params"])
 
 
+def _bf16_consumed(path: str) -> bool:
+    """True for param leaves the model's flax modules cast to bf16 themselves
+    (dtype=x.dtype sites). Pre-casting exactly these right after the unravel
+    is semantically a NO-OP (the module cast becomes the identity) but lets
+    XLA fuse each convert into the leaf's slice-of-flat-vector instead of
+    hoisting ONE whole-vector f32->bf16 retile — which the r5 trace measured
+    at 8.0 ms (pathological [42M]->[10.5M,4] reshape) + 3.6 ms relayout per
+    step (bench_artifacts/r05/NOTES.md). f32-consumed params (BN/LN, scan
+    A/D/dt, box MLPs, score heads, sampling offsets, AIFI) are NOT listed:
+    casting those would change semantics. Exactness is enforced by
+    tests/test_train.py::test_precast_bf16_is_identity (bitwise-equal loss
+    against the cast disabled)."""
+    if "AIFI" in path:  # AIFI's attention/FFN run fp32 (no dtype param)
+        return False
+    if "BatchNorm" in path or "_bn/" in path:
+        # BatchNorm scale/bias are fp32-consumed in training even when the
+        # parent module is named *_conv (cv2_conv, proj_conv, ...) — the
+        # first predicate version cast them and shifted the loss at 1e-5
+        return False
+    # NOT listed (f32-consumed, verified against the identity test): the
+    # decoder query stream — enc_output_dense has no dtype, so embeddings
+    # and everything touching them (self_attn q/k/v/out, linear1/2, norms,
+    # score/bbox heads) run f32 even in bf16 models.
+    return (
+        "Conv_0/kernel" in path      # ConvBN / DWConvBN conv kernels
+        or "/op/conv2d/" in path     # SS2D depthwise conv (+bias)
+        or "/op/in_proj/" in path    # SS2D input projection
+        or "/op/out_proj/" in path   # SS2D output projection (input is
+        #                              LN(dtype=bf16) * silu gate -> bf16)
+        or "/op/x_proj_weight" in path  # SS2D (explicit astype(cd))
+        or "/conv/" in path          # CBLinear conv (dtype=x.dtype)
+        or "/value_proj/" in path    # MSDeformAttn (value = flat, bf16)
+        or "/output_proj/" in path   # MSDeformAttn (gather out in value dtype)
+        or "/mlp/fc" in path         # VSSBlock Mlp fc1/fc2 (dtype=x.dtype)
+        or "_conv/kernel" in path    # decoder input_proj{i}_conv
+    )
+
+
+def precast_bf16_params(tree):
+    """Cast the bf16-consumed subset of a params tree (see _bf16_consumed)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(tree)
+    out = {
+        k: (v.astype(jnp.bfloat16)
+            if _bf16_consumed("/" + "/".join(map(str, k))) else v)
+        for k, v in flat.items()
+    }
+    return unflatten_dict(out)
+
+
 def _is_no_decay(path: Tuple, leaf) -> bool:
     """bias / norm-scale leaves get no weight decay (reference param groups)."""
     keys = [getattr(p, "key", str(p)) for p in path]
@@ -456,6 +507,7 @@ def make_train_step(
         loss_callable = lambda outputs, targets: rtdetr_detection_loss(
             outputs, targets, loss_cfg
         )
+    precast_bf16 = getattr(model, "dtype", jnp.float32) == jnp.bfloat16
 
     fsdp_repl = fsdp_shard = None
     if mesh is not None and zero:
@@ -485,6 +537,12 @@ def make_train_step(
             img = img.astype(jnp.float32) / 255.0
 
         def loss_fn(params):
+            if precast_bf16:
+                # pre-cast the bf16-consumed leaves (identity w.r.t. the
+                # modules' own casts — see _bf16_consumed) so the converts
+                # fuse into the unravel slices instead of one pathological
+                # whole-vector retile
+                params = precast_bf16_params(params)
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img,

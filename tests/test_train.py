@@ -1,5 +1,6 @@
 """Trainer unit tests: schedules, param groups, weight decay scaling, NaN guard."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -98,3 +99,67 @@ def test_nan_guard_skips_update():
         for a, b in zip(jax.tree.leaves(new_state2.params), jax.tree.leaves(state.params))
     )
     assert changed and np.isfinite(float(m2["loss"]))
+
+
+@pytest.mark.slow
+def test_precast_bf16_is_identity():
+    """precast_bf16_params casts EXACTLY the leaves the flax modules cast
+    themselves (dtype=x.dtype sites): with XLA excess precision DISABLED the
+    train-step loss and grad norm are BITWISE identical with the pre-cast
+    removed. (Under the default --xla_allow_excess_precision=true, XLA may
+    keep f32 intermediates across different fusion boundaries, so bitwise
+    comparison across graph variants is only meaningful with the flag off.)
+    Catches any pattern in _bf16_consumed that wrongly covers an
+    f32-consumed param (which flax would otherwise promote, changing
+    semantics — e.g. the first version cast cv2_conv's BatchNorm params)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from tamtr_tpu.losses.detr_loss import DETRLossConfig
+from tamtr_tpu.nn.graph import TAMTRModel
+from tamtr_tpu.train import trainer as T
+
+B, M, nc, sz, hd = 2, 4, 5, 64, 128
+
+def one_loss():
+    model = TAMTRModel.from_yaml("tamtr-nano.yaml", nc=nc, max_gt=M,
+                                 scan_chunk=32, num_denoising=4,
+                                 dtype=jnp.bfloat16)
+    cfg = T.TrainConfig(batch_size=B, warmup_iters=2, epochs=1, accumulate=1)
+    state, tx = T.create_train_state(model, jax.random.PRNGKey(0), cfg,
+                                     (B, sz, sz, 3), nc, steps_per_epoch=2,
+                                     max_gt=M, text_dim=hd)
+    step = jax.jit(T.make_train_step(model, tx, DETRLossConfig(nc=nc), cfg))
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.random((B, sz, sz, 3), dtype=np.float32)),
+        "txt_feats": jnp.asarray(rng.standard_normal((B, nc, hd)).astype(np.float32)),
+        "cls": jnp.asarray(rng.integers(0, nc, (B, M)).astype(np.int32)),
+        "bboxes": jnp.asarray(np.clip(rng.random((B, M, 4)), 0.1, 0.9).astype(np.float32)),
+        "mask": jnp.asarray(np.tile(np.arange(M)[None] < 3, (B, 1))),
+    }
+    _, m = step(state, batch, jax.random.PRNGKey(3))
+    return float(m["loss"]), float(m["grad_norm"])
+
+a = one_loss()
+T.precast_bf16_params = lambda t: t
+b = one_loss()
+assert a == b, (a, b)
+print("IDENTITY-OK", a)
+"""
+    import os
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_allow_excess_precision=false"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("TAMTR_JAX_CACHE", None)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=2400,
+                       cwd=str(Path(__file__).resolve().parent.parent))
+    assert "IDENTITY-OK" in r.stdout, r.stdout[-1500:] + r.stderr[-1500:]
