@@ -151,7 +151,7 @@ def test_two_process_train_step(tmp_path):
     """The REAL train step (nano model, full loss/optimizer/EMA) across
     2 processes x 4 devices: identical loss and updated params on both
     hosts (the DDP-consistency contract, reference trainer.py:285-421)."""
-    outs = _run_two_procs(tmp_path, TRAIN_WORKER)
+    outs = _run_two_procs(tmp_path, TRAIN_WORKER, timeout=1500)  # 2 cold nano-step compiles share one host core
     lines = []
     for i, out in enumerate(outs):
         line = next(l for l in out.splitlines() if f"proc{i} TRAINOK" in l)
